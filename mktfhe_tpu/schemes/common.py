@@ -1,0 +1,161 @@
+"""Scheme-agnostic bootstrapping machinery.
+
+Counterpart of the shared parts of /root/reference/src/tfhe/bootstrapping.jl:
+the modulus switch + test-vector prologue (bootstrapping.jl:4-27) and the
+key-switch epilogue -- redesigned TPU-first:
+
+  * The test vector is built branchlessly by a negacyclic roll (the
+    reference branches on tildeb <= N, bootstrapping.jl:13-22).
+  * Key switching becomes an int8 MXU matmul: gadget digits of the
+    extracted coefficients (small ints) times the key-switching key split
+    into four signed 8-bit limbs, recombined with wrapping shifts -- exact
+    mod 2^32.  This replaces the reference's digit-value table lookup
+    (bootstrapping.jl:81-109), which is gather-heavy and TPU-hostile.
+    KSK rows are fresh encryptions of coeff * g_j; multiplying by digits
+    <= D-1 scales their noise by at most D-1 (vs the reference's per-value
+    table), a negligible term against the decomposition error.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ciphertext.decomp import balanced_decomp, unbalanced_decomp
+from ..ciphertext.keys import LweKey
+from ..ciphertext.lwe import Lwe, lwe_encrypt
+from ..ciphertext.rlwe import gadget_gvec
+from ..ring.torus import bits_of, divbits, negacyclic_roll
+
+NLIMB = 4  # 8-bit limbs per uint32 key-switch coefficient
+
+
+def mod_switch_2n(ct: Lwe, big_n: int):
+    """Scale a T-bit LWE ciphertext to modulus 2N (bootstrapping.jl:8-9)."""
+    t = bits_of(ct.b.dtype)
+    log_n = big_n.bit_length() - 1
+    shift = t - log_n - 1
+    return divbits(ct.b, shift), divbits(ct.a, shift)
+
+
+def initial_acc(tildeb, big_n: int, k: int, ring_dtype):
+    """RLWE accumulator with the +-1/8 test vector rotated by tildeb.
+
+    tildeb: [...] values in [0, 2N).  Returns [..., k+1, N] (component 0=b).
+    Matches the explicit construction at bootstrapping.jl:11-23: coefficient
+    i (0-based) of b is +1/8 if i < tildeb <= N wrap-around etc.; here
+    uniformly tv = X^tildeb * (-1/8 * sum_i X^i).
+    """
+    rt = bits_of(ring_dtype)
+    eighth = jnp.array(1, dtype=ring_dtype) << (rt - 3)
+    base = jnp.full((big_n,), -eighth, dtype=ring_dtype)
+    roll = negacyclic_roll
+    for _ in range(tildeb.ndim):
+        roll = jax.vmap(roll, in_axes=(None, 0))
+    tv = roll(base, tildeb.astype(jnp.int32))
+    acc = jnp.zeros((*tildeb.shape, k + 1, big_n), dtype=ring_dtype)
+    return acc.at[..., 0, :].set(tv)
+
+
+def to_signed_limbs(v):
+    """uint32 [...] -> int8 [..., NLIMB] balanced limbs: v = sum l_j 2^(8j)
+    (mod 2^32) with l_j in [-128, 128); keeps MXU int8 matmuls exact."""
+    assert v.dtype == jnp.uint32
+    limbs = []
+    for i in range(NLIMB):
+        d = v & jnp.uint32(0xFF)
+        v = v >> 8
+        carry = d >> 7
+        v = v + carry
+        limbs.append((d.astype(jnp.int32) - (carry.astype(jnp.int32) << 8)).astype(jnp.int8))
+    return jnp.stack(limbs, axis=-1)
+
+
+def sample_extract_coeffs(a):
+    """Negacyclic sample extraction: [..., k, N] ring masks -> the LWE mask
+    coefficients [a_0, -a_{N-1}, ..., -a_1] (bootstrapping.jl:90-99)."""
+    return jnp.concatenate([a[..., :1], -jnp.flip(a[..., 1:], axis=-1)], axis=-1)
+
+
+def build_ksk(rng, ring_coeffs, lwe_key: LweKey, f: int, log_d: int, sigma: float):
+    """Key-switching key as int8 limb matrices for the matmul key switch.
+
+    ring_coeffs: [rows] uint32 -- the target-key coefficients in extraction
+    order (one row per (ring component, coeff, level) after scaling by g_j).
+    Returns (ksk_b [NLIMB, rows*f] int8-as-int8, ksk_a [NLIMB, rows*f, n]).
+    Redesigns BootKey_bin's ksk table (keygen.jl:17-23): rows are fresh LWE
+    encryptions of coeff * g_j rather than a (D-1)-way value table.
+    """
+    gvec = gadget_gvec(f, log_d, jnp.uint32)  # [f]
+    msgs = ring_coeffs[:, None] * gvec[None, :]  # [rows, f]
+    ct = lwe_encrypt(rng, msgs, lwe_key, sigma, shape=msgs.shape)
+    rows = msgs.shape[0] * f
+    ksk_b = to_signed_limbs(ct.b.reshape(rows))  # [rows, NLIMB]
+    ksk_a = to_signed_limbs(ct.a.reshape(rows, -1))  # [rows, n, NLIMB]
+    return (
+        jnp.moveaxis(ksk_b, -1, 0),
+        jnp.moveaxis(ksk_a, -1, 0),
+    )
+
+
+def _limb_matmul(digits_i8, ksk_b, ksk_a):
+    """digits [..., rows] int8 x limb matrices -> (b [...], a [..., n]) uint32.
+
+    The int8 x int8 -> int32 products accumulate exactly (|digit| < 256,
+    |limb| <= 128, rows < 2^15 => |sum| < 2^30); the limb recombination
+    shifts wrap mod 2^32, matching torus arithmetic.
+    """
+    outb = jnp.zeros(digits_i8.shape[:-1], dtype=jnp.int32)
+    outa = None
+    for limb in range(NLIMB):
+        pb = jax.lax.dot_general(
+            digits_i8,
+            ksk_b[limb][:, None],
+            (((digits_i8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )[..., 0]
+        pa = jax.lax.dot_general(
+            digits_i8,
+            ksk_a[limb],
+            (((digits_i8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        outb = outb + (pb << (8 * limb))
+        outa = pa << (8 * limb) if outa is None else outa + (pa << (8 * limb))
+    u32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return u32(outb), u32(outa)
+
+
+def keyswitch_unbalanced(acc, ksk_b, ksk_a, f: int, log_d: int):
+    """CGGI/CCS-style key switch (bootstrapping.jl:81-109, :333-364).
+
+    acc: [..., k+1, N] uint32 ring accumulator (component 0 = b).
+    Returns Lwe with dim = ksk_a.shape[-1].
+    """
+    b = acc[..., 0, 0]
+    arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
+    digits = unbalanced_decomp(arr, f, log_d)  # [..., k, N, f] in [0, D)
+    flat = digits.reshape(*digits.shape[:-3], -1).astype(jnp.int8)
+    db, da = _limb_matmul(flat, ksk_b, ksk_a)
+    return Lwe(b=b + db, a=da)
+
+
+def keyswitch_partial(acc, n_free: int, ksk_b, ksk_a, f: int, log_d: int):
+    """LMSS-style partial key switch (bootstrapping.jl:170-229).
+
+    The ring key's first n_free coefficients ARE the LWE key, so those
+    extracted coefficients pass through for free; the tail goes through a
+    *balanced* decomposition (signed digits, handled natively by the signed
+    int8 matmul -- the reference's add/sub branching at :196-201 vanishes).
+    ksk rows cover only the tail coefficients (rows = (k*N - n_free) * f).
+    acc: [..., k+1, N]; returns Lwe of dimension n_free.
+    """
+    b = acc[..., 0, 0]
+    arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
+    flat = arr.reshape(*arr.shape[:-2], -1)  # [..., k*N]
+    free = flat[..., :n_free]
+    tail = flat[..., n_free:]
+    digits = balanced_decomp(tail, f, log_d)  # [..., tail, f] signed
+    dflat = digits.reshape(*digits.shape[:-2], -1).astype(jnp.int8)
+    db, da = _limb_matmul(dflat, ksk_b, ksk_a)
+    return Lwe(b=b + db, a=free + da)

@@ -1,0 +1,118 @@
+"""The 16 concrete parameter presets.
+
+Numerically identical to /root/reference/src/tfhe/params.jl:1-125 (public
+scheme parameters from the companion papers: CGGI16, LMSS23, CCS19, and
+eprint 2022/1460).  Noise stddevs are in absolute torus units: alpha = 2^17
+on the 2^32 torus, beta = 2^7 (CGGI rings) or 85.4084 (KMS 2^64 rings).
+"""
+
+from __future__ import annotations
+
+from .params import BlockParams, CcsParams, CggiParams, KmsBlockParams, KmsParams
+
+CGGI_PARAM = CggiParams(
+    n=630, alpha=float(1 << 17), f=8, log_d=2,
+    big_n=1 << 10, k=1, beta=float(1 << 7), l_gsw=3, log_b_gsw=9,
+)
+
+BLOCK_PARAM = BlockParams(
+    d=229, ell=3, alpha=float(1 << 17), f=8, log_d=2,
+    big_n=1 << 10, k=1, beta=float(1 << 7), l_gsw=3, log_b_gsw=9,
+)
+
+CCS_2PARTY = CcsParams(
+    n=560, alpha=float(1 << 17), f=8, log_d=2,
+    big_n=1 << 10, beta=float(1 << 4), l_uni=3, log_b_uni=8, k=2,
+)
+
+CCS_4PARTY = CcsParams(
+    n=560, alpha=float(1 << 17), f=8, log_d=2,
+    big_n=1 << 10, beta=float(1 << 4), l_uni=4, log_b_uni=8, k=4,
+)
+
+CCS_8PARTY = CcsParams(
+    n=560, alpha=float(1 << 17), f=8, log_d=2,
+    big_n=1 << 10, beta=float(1 << 4), l_uni=5, log_b_uni=6, k=8,
+)
+
+CCS_16PARTY = CcsParams(
+    n=560, alpha=float(1 << 17), f=8, log_d=2,
+    big_n=1 << 10, beta=float(1 << 4), l_uni=12, log_b_uni=2, k=16,
+)
+
+_KMS_COMMON = dict(
+    n=560, alpha=float(1 << 17), f=8, log_d=2, big_n=1 << 11, beta=85.4084,
+)
+
+KMS_2PARTY = KmsParams(
+    **_KMS_COMMON, l_gsw=3, log_b_gsw=12, l_lev=2, log_b_lev=7,
+    l_uni=3, log_b_uni=10, k=2,
+)
+
+KMS_4PARTY = KmsParams(
+    **_KMS_COMMON, l_gsw=5, log_b_gsw=8, l_lev=2, log_b_lev=8,
+    l_uni=7, log_b_uni=6, k=4,
+)
+
+KMS_8PARTY = KmsParams(
+    **_KMS_COMMON, l_gsw=4, log_b_gsw=9, l_lev=3, log_b_lev=6,
+    l_uni=8, log_b_uni=4, k=8,
+)
+
+KMS_16PARTY = KmsParams(
+    **_KMS_COMMON, l_gsw=5, log_b_gsw=8, l_lev=3, log_b_lev=6,
+    l_uni=9, log_b_uni=4, k=16,
+)
+
+KMS_32PARTY = KmsParams(
+    **_KMS_COMMON, l_gsw=6, log_b_gsw=7, l_lev=3, log_b_lev=7,
+    l_uni=16, log_b_uni=2, k=32,
+)
+
+_KMS_BLOCK_COMMON = dict(
+    d=203, ell=3, alpha=float(1 << 17), f=8, log_d=2, big_n=1 << 11, beta=85.4084,
+)
+
+KMS_2PARTY_BLOCK = KmsBlockParams(
+    **_KMS_BLOCK_COMMON, l_gsw=3, log_b_gsw=12, l_lev=2, log_b_lev=7,
+    l_uni=3, log_b_uni=10, k=2,
+)
+
+KMS_4PARTY_BLOCK = KmsBlockParams(
+    **_KMS_BLOCK_COMMON, l_gsw=5, log_b_gsw=8, l_lev=2, log_b_lev=8,
+    l_uni=7, log_b_uni=6, k=4,
+)
+
+KMS_8PARTY_BLOCK = KmsBlockParams(
+    **_KMS_BLOCK_COMMON, l_gsw=4, log_b_gsw=9, l_lev=3, log_b_lev=6,
+    l_uni=8, log_b_uni=4, k=8,
+)
+
+KMS_16PARTY_BLOCK = KmsBlockParams(
+    **_KMS_BLOCK_COMMON, l_gsw=5, log_b_gsw=8, l_lev=3, log_b_lev=6,
+    l_uni=9, log_b_uni=4, k=16,
+)
+
+KMS_32PARTY_BLOCK = KmsBlockParams(
+    **_KMS_BLOCK_COMMON, l_gsw=6, log_b_gsw=7, l_lev=3, log_b_lev=7,
+    l_uni=16, log_b_uni=2, k=32,
+)
+
+ALL_PRESETS = {
+    "CGGI": CGGI_PARAM,
+    "Block": BLOCK_PARAM,
+    "CCS2party": CCS_2PARTY,
+    "CCS4party": CCS_4PARTY,
+    "CCS8party": CCS_8PARTY,
+    "CCS16party": CCS_16PARTY,
+    "KMS2party": KMS_2PARTY,
+    "KMS4party": KMS_4PARTY,
+    "KMS8party": KMS_8PARTY,
+    "KMS16party": KMS_16PARTY,
+    "KMS32party": KMS_32PARTY,
+    "KMS2partyblock": KMS_2PARTY_BLOCK,
+    "KMS4partyblock": KMS_4PARTY_BLOCK,
+    "KMS8partyblock": KMS_8PARTY_BLOCK,
+    "KMS16partyblock": KMS_16PARTY_BLOCK,
+    "KMS32partyblock": KMS_32PARTY_BLOCK,
+}
