@@ -91,6 +91,21 @@ def shoup_mul(w, w_shoup, a, p):
     return jnp.where(r >= p, r - p, r)
 
 
+def mulmod_runtime(a, b, p, c32, c32_shoup):
+    """(a * b) mod p for two runtime values in [0, p) (no Shoup table).
+
+    Full 64-bit product via mulhi, folded with the constant
+    c32 = 2^32 mod p: a*b = hi*2^32 + lo => (hi*c32 + lo) mod p.
+    Used where both operands are produced at runtime (e.g. KMS phase-2
+    contractions against phase-1 outputs, bootstrapping.jl:484-505).
+    """
+    p = jnp.uint32(p)
+    hi = mulhi_u32(a, b)
+    lo = a * b  # wrapping
+    lo_r = reduce_u32(lo, p)
+    return addmod(shoup_mul(c32, c32_shoup, hi, p), lo_r, p)
+
+
 def addmod(a, b, p):
     """(a + b) mod p for a, b in [0, p); p < 2^31 so the sum cannot wrap."""
     p = U32(p)

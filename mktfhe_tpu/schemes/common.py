@@ -132,12 +132,48 @@ def keyswitch_unbalanced(acc, ksk_b, ksk_a, f: int, log_d: int):
     acc: [..., k+1, N] uint32 ring accumulator (component 0 = b).
     Returns Lwe with dim = ksk_a.shape[-1].
     """
+    assert log_d <= 7, "unbalanced key-switch digits must fit int8"
     b = acc[..., 0, 0]
     arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
     digits = unbalanced_decomp(arr, f, log_d)  # [..., k, N, f] in [0, D)
     flat = digits.reshape(*digits.shape[:-3], -1).astype(jnp.int8)
     db, da = _limb_matmul(flat, ksk_b, ksk_a)
     return Lwe(b=b + db, a=da)
+
+
+def keyswitch_per_party(acc, ksk_b, ksk_a, f: int, log_d: int):
+    """Multi-key key switch (CCS/KMS, bootstrapping.jl:333-364, :564-594).
+
+    acc: [..., k+1, N] uint32 (component i>=1 = party i's ring mask).
+    ksk_b: [k, NLIMB, N*f] int8; ksk_a: [k, NLIMB, N*f, n] int8 (party-wise
+    keys).  Each party's extracted coefficients key-switch against its own
+    ksk; partial b's sum (the reference's racy `res.b += partctxt[i].b` at
+    :361 becomes a reduction) and the a segments concatenate into the k*n
+    mask.  Returns Lwe of dimension k*n.
+    """
+    assert log_d <= 7, "unbalanced key-switch digits must fit int8"
+    b0 = acc[..., 0, 0]
+    arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
+    digits = unbalanced_decomp(arr, f, log_d)  # [..., k, N, f]
+    flat = digits.reshape(*digits.shape[:-2], -1).astype(jnp.int8)  # [..., k, N*f]
+    k = flat.shape[-2]
+    lead = flat.shape[:-2]
+    outb = jnp.zeros(lead + (k,), dtype=jnp.int32)
+    outa = None
+    for limb in range(NLIMB):
+        # batch over the party axis: [..., k, R] x [k, R, n] -> [..., k, n]
+        pb = jnp.einsum(
+            "...kr,kr->...k", flat, ksk_b[:, limb], preferred_element_type=jnp.int32
+        )
+        pa = jnp.einsum(
+            "...kr,krn->...kn", flat, ksk_a[:, limb], preferred_element_type=jnp.int32
+        )
+        outb = outb + (pb << (8 * limb))
+        outa = pa << (8 * limb) if outa is None else outa + (pa << (8 * limb))
+    u32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    b = b0 + jnp.sum(u32(outb), axis=-1, dtype=jnp.uint32)
+    a = u32(outa).reshape(*lead, -1)
+    return Lwe(b=b, a=a)
 
 
 def keyswitch_partial(acc, n_free: int, ksk_b, ksk_a, f: int, log_d: int):
@@ -150,6 +186,7 @@ def keyswitch_partial(acc, n_free: int, ksk_b, ksk_a, f: int, log_d: int):
     ksk rows cover only the tail coefficients (rows = (k*N - n_free) * f).
     acc: [..., k+1, N]; returns Lwe of dimension n_free.
     """
+    assert log_d <= 8, "balanced key-switch digits must fit int8"
     b = acc[..., 0, 0]
     arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
     flat = arr.reshape(*arr.shape[:-2], -1)  # [..., k*N]

@@ -33,12 +33,12 @@ _CONSTS = jnp.array([v[0] for v in GATE_TABLE.values()], dtype=jnp.int32)
 _SIGNS = jnp.array([v[1] * v[2] for v in GATE_TABLE.values()], dtype=jnp.int32)
 
 CLEAR_OPS = {
-    "NAND": lambda x, y: ~(x & y),
-    "AND": lambda x, y: x & y,
-    "OR": lambda x, y: x | y,
-    "XOR": lambda x, y: x ^ y,
-    "XNOR": lambda x, y: ~(x ^ y),
-    "NOR": lambda x, y: ~(x | y),
+    "NAND": lambda x, y: not (x and y),
+    "AND": lambda x, y: x and y,
+    "OR": lambda x, y: x or y,
+    "XOR": lambda x, y: x != y,
+    "XNOR": lambda x, y: x == y,
+    "NOR": lambda x, y: not (x or y),
 }
 
 

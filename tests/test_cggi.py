@@ -21,7 +21,7 @@ from mktfhe_tpu.schemes.gates import (
 from mktfhe_tpu.schemes.params import CggiParams
 
 TINY = CggiParams(
-    n=16, alpha=16.0, f=3, log_d=8, big_n=64, k=1, beta=16.0, l_gsw=3, log_b_gsw=8
+    n=16, alpha=16.0, f=8, log_d=2, big_n=64, k=1, beta=16.0, l_gsw=3, log_b_gsw=8
 )
 
 
