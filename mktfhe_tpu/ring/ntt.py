@@ -77,16 +77,20 @@ def make_plan(n: int, nprimes: int) -> NttPlan:
         ninvs.append(ninv)
         ninv_sh.append(shoup(ninv, p))
 
+    # NOTE: tables are host numpy arrays, NOT jnp arrays: plans are built
+    # lazily under lru_cache and may first be requested inside a jit trace,
+    # where a jnp.array would be a tracer that must not be cached.  numpy
+    # constants re-stage safely into any trace.
     return NttPlan(
         n=n,
         nprimes=nprimes,
-        primes=jnp.array(primes, dtype=U32),
-        psi_brv=jnp.array(np.stack(psi_tabs)),
-        psi_brv_shoup=jnp.array(np.stack(psi_sh)),
-        ipsi_brv=jnp.array(np.stack(ipsi_tabs)),
-        ipsi_brv_shoup=jnp.array(np.stack(ipsi_sh)),
-        n_inv=jnp.array(ninvs, dtype=U32),
-        n_inv_shoup=jnp.array(ninv_sh, dtype=U32),
+        primes=np.array(primes, dtype=np.uint32),
+        psi_brv=np.stack(psi_tabs),
+        psi_brv_shoup=np.stack(psi_sh),
+        ipsi_brv=np.stack(ipsi_tabs),
+        ipsi_brv_shoup=np.stack(ipsi_sh),
+        n_inv=np.array(ninvs, dtype=np.uint32),
+        n_inv_shoup=np.array(ninv_sh, dtype=np.uint32),
     )
 
 

@@ -89,13 +89,14 @@ def make_crt_plan(nprimes: int) -> CrtPlan:
     prod = 1
     for p in ps:
         prod *= p
+    # host numpy arrays: see the note in ntt.make_plan about lru_cache + jit
     return CrtPlan(
         nprimes=nprimes,
-        primes=jnp.array(ps, dtype=U32),
-        c32=jnp.array(c32, dtype=U32),
-        c32_shoup=jnp.array([shoup(c, p) for c, p in zip(c32, ps)], dtype=U32),
-        c64=jnp.array(c64, dtype=U32),
-        c64_shoup=jnp.array([shoup(c, p) for c, p in zip(c64, ps)], dtype=U32),
+        primes=np.array(ps, dtype=np.uint32),
+        c32=np.array(c32, dtype=np.uint32),
+        c32_shoup=np.array([shoup(c, p) for c, p in zip(c32, ps)], dtype=np.uint32),
+        c64=np.array(c64, dtype=np.uint32),
+        c64_shoup=np.array([shoup(c, p) for c, p in zip(c64, ps)], dtype=np.uint32),
         inv_pj=inv_pj,
         prod_mod32=prod % (1 << 32),
         prod_mod64=prod % (1 << 64),

@@ -71,6 +71,7 @@ def crs(rng, params: CcsParams):
     return sample_crs(rng, params.l_uni, _ctx(params))
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def party_keygen(rng, crs_polys, params: CcsParams):
     """Independent per-party keygen (scheme.jl:227-239, keygen.jl:57-83).
 
@@ -100,6 +101,7 @@ def party_keygen(rng, crs_polys, params: CcsParams):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def setup(crs_polys, party_keys: list[CcsPartyKey], params: CcsParams) -> CcsScheme:
     """Aggregate party keys into the runtime scheme (scheme.jl:244-252):
     transform everything to the NTT domain with Shoup companions."""

@@ -49,6 +49,7 @@ def _ctx(params: CggiParams) -> RingCtx:
     return make_ring_ctx(params.big_n, params.torus_bits, params.nprimes)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def setup(rng, params: CggiParams):
     """Keygen: (lwe_key, ring_key, scheme) -- scheme.jl:151-166.
 

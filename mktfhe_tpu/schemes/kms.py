@@ -101,6 +101,7 @@ def crs(rng, params: AnyKmsParams):
     return sample_crs(rng, params.l_uni, _ctx(params))
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def party_keygen(rng, crs_polys, params: AnyKmsParams):
     """Independent per-party keygen (scheme.jl:273-287, keygen.jl:85-118).
 
@@ -150,6 +151,7 @@ def _monomial_table(ctx: RingCtx):
     return monomial_table(ctx)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def setup(crs_polys, party_keys: list[KmsPartyKey], params: AnyKmsParams) -> KmsScheme:
     """Aggregate party keys (scheme.jl:292-299, :343-350)."""
     ctx = _ctx(params)

@@ -74,6 +74,7 @@ def monomial_table(ctx: RingCtx):
     return hat, shoup_pair(hat, ctx.plan)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
 def setup(rng, params: BlockParams):
     """Keygen: (lwe_key, ring_key, scheme) -- scheme.jl:190-205.
 
