@@ -5,8 +5,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Primary metric per BASELINE.json: gate bootstraps/sec/chip.  The reference
 publishes no numbers (BASELINE.md), so vs_baseline is reported against the
 BASELINE.json north-star target of 100 multi-key gate bootstraps/sec/chip
-(vs_baseline = value / 100).  Round 1 benches the CGGI preset (single-key,
-N=1024, n=630) batched over gates; later rounds move to KMS k=8.
+(vs_baseline = value / 100).
+
+Timing methodology: outputs are decryption-verified once, then a chain of
+*data-dependent* bootstraps (each consuming the previous output, i.e. a
+real homomorphic gate chain) is timed end to end.  Independent repeats are
+NOT trustworthy on this TPU runtime: block_until_ready was observed to
+return before dependent work actually completes, reporting physically
+impossible times; a dependency chain cannot be faked.
+
+Usage: python bench.py [scheme] [batch]   (scheme: cggi | kms2 | kms8)
 """
 
 import json
@@ -15,62 +23,105 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_enable_x64", True)
 
-from mktfhe_tpu.ciphertext.lwe import Lwe
-from mktfhe_tpu.schemes import cggi
-from mktfhe_tpu.schemes.gates import gate_affine, lwe_encrypt_bit
-from mktfhe_tpu.schemes.presets import CGGI_PARAM
+
+def _time_bootstraps(boot, chain_step, first_ct, reps=10):
+    """Time a dependent chain: ct -> boot -> chain_step -> boot -> ..."""
+    out = boot(first_ct)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.time()
+    cur = out
+    for _ in range(reps):
+        cur = boot(chain_step(cur))
+    jax.block_until_ready(cur)
+    return (time.time() - t0) / reps, out
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    params = CGGI_PARAM
+    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "cggi"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    from mktfhe_tpu.schemes.gates import (
+        gate_affine,
+        lwe_decrypt_bit,
+        lwe_decrypt_bit_mk,
+        lwe_encrypt_bit,
+        lwe_ith_encrypt_bit,
+    )
+
+    rng = np.random.default_rng(0)
+    m1 = rng.integers(0, 2, batch).astype(bool)
+    m2 = rng.integers(0, 2, batch).astype(bool)
+    want = ~(m1 & m2)  # NAND
 
     t0 = time.time()
-    lwe_key, _ring, scheme = cggi.setup(jax.random.key(0), params)
-    jax.block_until_ready(scheme.brk_hat)
-    keygen_s = time.time() - t0
+    if scheme_name == "cggi":
+        from mktfhe_tpu.schemes import cggi as mod
+        from mktfhe_tpu.schemes.presets import CGGI_PARAM as params
 
-    m = jnp.zeros((batch,), dtype=bool)
-    ct1 = lwe_encrypt_bit(jax.random.key(1), m, lwe_key, params.alpha, (batch,))
-    ct2 = lwe_encrypt_bit(jax.random.key(2), ~m, lwe_key, params.alpha, (batch,))
-    ct = gate_affine(0, ct1, ct2)
+        lwe_key, _r, scheme = mod.setup(jax.random.key(0), params)
+        jax.block_until_ready(scheme.brk_hat)
+        keygen_s = time.time() - t0
+        ct2 = lwe_encrypt_bit(jax.random.key(2), jnp.array(m2), lwe_key, params.alpha, (batch,))
+        c1 = lwe_encrypt_bit(jax.random.key(100), jnp.array(m1), lwe_key, params.alpha, (batch,))
+        first_ct = gate_affine(0, c1, ct2)
+        chain_step = lambda prev: gate_affine(0, prev, ct2)
+        boot = lambda ct: mod.bootstrap(ct, scheme, params)
+        decrypt = lambda out: lwe_decrypt_bit(out, lwe_key)
+        metric = "cggi_gate_bootstraps_per_sec_per_chip"
+    elif scheme_name.startswith("kms"):
+        from mktfhe_tpu.schemes import kms as mod
+        from mktfhe_tpu.schemes.presets import ALL_PRESETS
 
-    def run(ct):
-        return cggi.bootstrap(ct, scheme, params)
+        k = int(scheme_name[3:] or 2)
+        params = ALL_PRESETS[f"KMS{k}party"]
+        a = mod.crs(jax.random.key(0), params)
+        parties = [
+            mod.party_keygen(jax.random.key(1 + i), a, params) for i in range(k)
+        ]
+        lwe_keys = [p[0] for p in parties]
+        scheme = mod.setup(a, [p[3] for p in parties], params)
+        jax.block_until_ready(scheme.brk_hat)
+        keygen_s = time.time() - t0
+        ct2 = lwe_ith_encrypt_bit(
+            jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, k, (batch,)
+        )
+        c1 = lwe_ith_encrypt_bit(
+            jax.random.key(100), jnp.array(m1), 0, lwe_keys[0], params.alpha, k, (batch,)
+        )
+        first_ct = gate_affine(0, c1, ct2)
+        chain_step = lambda prev: gate_affine(0, prev, ct2)
+        boot = lambda ct: mod.bootstrap(ct, scheme, params)
+        decrypt = lambda out: lwe_decrypt_bit_mk(out, lwe_keys)
+        metric = f"kms{k}_gate_bootstraps_per_sec_per_chip"
+    else:
+        raise SystemExit(f"unknown scheme {scheme_name}")
 
-    t0 = time.time()
-    out = run(ct)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-
-    # timed runs
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        out = run(ct)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+    dt, out = _time_bootstraps(boot, chain_step, first_ct)
+    got = np.asarray(decrypt(out))
+    ok = bool(np.array_equal(got, want))
 
     value = batch / dt
     print(
-        f"# keygen {keygen_s:.1f}s, first-call {compile_s:.1f}s, "
-        f"steady {dt*1e3:.1f}ms for batch {batch} "
-        f"({dt/batch*1e3:.2f} ms/gate)",
+        f"# {scheme_name} keygen {keygen_s:.1f}s, steady {dt*1e3:.1f}ms/batch-{batch} "
+        f"({dt/batch*1e3:.2f} ms/gate), decrypt {'OK' if ok else 'MISMATCH'}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "cggi_gate_bootstraps_per_sec_per_chip",
+                "metric": metric,
                 "value": round(value, 2),
                 "unit": "bootstraps/s",
                 "vs_baseline": round(value / 100.0, 3),
             }
         )
     )
+    if not ok:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -8,9 +8,22 @@ residue arrays produced by the exact NTT.
 from .decomp import balanced_decomp, unbalanced_decomp
 from .gsw import (
     external_product_hat,
+    rgsw_add,
     rgsw_encrypt,
+    rgsw_sub,
     rgsw_to_hat,
     rlwe_decomp_hat,
+)
+from .lev import (
+    Gsw,
+    Lev,
+    gsw_add,
+    gsw_encrypt,
+    gsw_sub,
+    lev_add,
+    lev_encrypt,
+    lev_ith_encrypt,
+    lev_sub,
 )
 from .keys import (
     LweKey,
@@ -42,10 +55,21 @@ from .rlwe import (
 from .unienc import UniEnc, gen_b, sample_crs, unienc_encrypt
 
 __all__ = [
+    "Gsw",
+    "Lev",
     "Lwe",
     "LweKey",
     "RingKey",
     "UniEnc",
+    "gsw_add",
+    "gsw_encrypt",
+    "gsw_sub",
+    "lev_add",
+    "lev_encrypt",
+    "lev_ith_encrypt",
+    "lev_sub",
+    "rgsw_add",
+    "rgsw_sub",
     "balanced_decomp",
     "binary_lwe_key",
     "binary_ring_key",

@@ -45,6 +45,17 @@ def rgsw_encrypt(rng, msg, key: RingKey, sigma: float, l: int, log_b: int, ctx: 
     return sample + onehot[:, None, :, None] * msgpoly[None, :, None, :]
 
 
+def rgsw_add(x, y):
+    """Homomorphic RGSW add -- correct version of the reference's broken
+    dead code (gsw.jl:186-197); stacks are arrays, so it's a wrapping add."""
+    return x + y
+
+
+def rgsw_sub(x, y):
+    """Homomorphic RGSW sub (cf. broken gsw.jl:199-210)."""
+    return x - y
+
+
 def rgsw_to_hat(stack, ctx: RingCtx):
     """NTT-domain image + Shoup companion (the reference's TransRGSW/fft,
     gsw.jl:262-270); balanced lift keeps the CRT contraction bounds tight."""

@@ -1,0 +1,136 @@
+"""Command-line driver: randomized gate-circuit trials per scheme preset.
+
+TPU-native equivalent of the reference's five test scripts
+(/root/reference/test/{CGGI,LMSS,CCS,KMS,KMSblock}.jl): keygen, print key
+sizes, run trials of random gate chains evaluated homomorphically and in
+cleartext, assert agreement, and report timing.  Unlike the reference, a
+whole batch of independent circuits runs per trial.
+
+    python -m mktfhe_tpu.cli --preset KMS2party --trials 2 --batch 8
+    python -m mktfhe_tpu.cli --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sizeof(tree) -> str:
+    total = sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if total < 1024:
+            return f"{total:.1f} {unit}"
+        total /= 1024
+    return f"{total:.1f} TiB"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="CGGI", help="preset name (see --list)")
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=8, help="independent circuits per trial")
+    ap.add_argument("--chain", type=int, default=None, help="gates per circuit (default: k, or 3)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--list", action="store_true", help="list presets and exit")
+    args = ap.parse_args(argv)
+
+    from .schemes import ccs, cggi, kms, lmss
+    from .schemes.gates import (
+        CLEAR_OPS,
+        GATE_IDS,
+        gate_affine,
+        lwe_decrypt_bit,
+        lwe_decrypt_bit_mk,
+        lwe_encrypt_bit,
+        lwe_ith_encrypt_bit,
+    )
+    from .schemes.params import BlockParams, CcsParams, CggiParams, KmsBlockParams, KmsParams
+    from .schemes.presets import ALL_PRESETS
+
+    if args.list:
+        for name, p in ALL_PRESETS.items():
+            print(f"{name:20s} {type(p).__name__}")
+        return
+
+    params = ALL_PRESETS[args.preset]
+    rng = jax.random.key(args.seed)
+    nprng = np.random.default_rng(args.seed)
+    t0 = time.time()
+
+    single_key = isinstance(params, (CggiParams, BlockParams))
+    print(f"KEY GENERATION ({args.preset}) ...")
+    if isinstance(params, CggiParams):
+        lwe_keys, _, scheme = cggi.setup(rng, params)
+        lwe_keys = [lwe_keys]
+        boot = lambda ct: cggi.bootstrap(ct, scheme, params)
+    elif isinstance(params, BlockParams):
+        lwe_keys, _, scheme = lmss.setup(rng, params)
+        lwe_keys = [lwe_keys]
+        boot = lambda ct: lmss.bootstrap(ct, scheme, params)
+    elif isinstance(params, CcsParams):
+        a = ccs.crs(rng, params)
+        parties = [
+            ccs.party_keygen(jax.random.fold_in(rng, i), a, params)
+            for i in range(params.k)
+        ]
+        lwe_keys = [p[0] for p in parties]
+        scheme = ccs.setup(a, [p[2] for p in parties], params)
+        boot = lambda ct: ccs.bootstrap(ct, scheme, params)
+    else:
+        assert isinstance(params, (KmsParams, KmsBlockParams))
+        a = kms.crs(rng, params)
+        parties = [
+            kms.party_keygen(jax.random.fold_in(rng, i), a, params)
+            for i in range(params.k)
+        ]
+        lwe_keys = [p[0] for p in parties]
+        scheme = kms.setup(a, [p[3] for p in parties], params)
+        boot = lambda ct: kms.bootstrap(ct, scheme, params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(scheme)[0])
+    print(f"keygen {time.time()-t0:.1f}s; scheme size {_sizeof(scheme)}")
+
+    k = 1 if single_key else params.k
+    chain = args.chain or max(k, 2)
+    g = args.batch
+    op_names = list(GATE_IDS)
+
+    def encrypt(m, i, key, r):
+        if single_key:
+            return lwe_encrypt_bit(r, jnp.array(m), key, params.alpha, (g,))
+        return lwe_ith_encrypt_bit(r, jnp.array(m), i, key, params.alpha, k, (g,))
+
+    for trial in range(1, args.trials + 1):
+        msgs = nprng.integers(0, 2, size=(chain, g)).astype(bool)
+        ops = [op_names[j] for j in nprng.integers(0, len(op_names), size=chain - 1)]
+        cts = [
+            encrypt(msgs[i], i % k, lwe_keys[i % k], jax.random.fold_in(rng, 1000 * trial + i))
+            for i in range(chain)
+        ]
+        res, mres = cts[0], msgs[0]
+        t0 = time.time()
+        for i, op in enumerate(ops, start=1):
+            res = boot(gate_affine(GATE_IDS[op], res, cts[i]))
+            mres = np.array([CLEAR_OPS[op](bool(x), bool(y)) for x, y in zip(mres, msgs[i])])
+        jax.block_until_ready(res.b)
+        dt = time.time() - t0
+        got = np.asarray(
+            lwe_decrypt_bit(res, lwe_keys[0])
+            if single_key
+            else lwe_decrypt_bit_mk(res, lwe_keys)
+        )
+        ok = bool(np.array_equal(got, mres))
+        per_gate = dt / (len(ops) * g) * 1e3
+        print(
+            f"Trial {trial}: {' -> '.join(ops)} x{g} circuits: "
+            f"{dt:.3f}s ({per_gate:.3f} ms/gate)  {'OK' if ok else 'MISMATCH'}"
+        )
+        assert ok, "homomorphic result disagrees with cleartext circuit"
+
+
+if __name__ == "__main__":
+    main()
