@@ -1,0 +1,51 @@
+"""ChaCha20 CSPRNG tests: RFC 7539 vectors, native/fallback agreement."""
+
+import numpy as np
+
+from mktfhe_tpu.native import ChaCha20Stream, chacha20_words, have_native
+from mktfhe_tpu.native.chacha import _block_py
+
+
+def test_rfc7539_block_vector():
+    # RFC 7539 section 2.3.2 test vector
+    key = bytes(range(32))
+    nonce = bytes.fromhex("000000090000004a00000000")
+    got = chacha20_words(key, nonce, 1, 16)
+    want = np.array(
+        [
+            0xE4E7F110, 0x15593BD1, 0x1FDD0F50, 0xC47120A3,
+            0xC7F4D1C7, 0x0368C033, 0x9AAA2204, 0x4E6CD4C3,
+            0x466482D2, 0x09AA9F07, 0x05D7C214, 0xA2028BD9,
+            0xD19C12B5, 0xB94E16DE, 0xE883D0CB, 0x4E3C50A2,
+        ],
+        dtype=np.uint32,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_matches_python_fallback():
+    key = bytes(range(32))
+    nonce = bytes(12)
+    import struct
+
+    kw = struct.unpack("<8I", key)
+    nw = struct.unpack("<3I", nonce)
+    py = []
+    for c in range(3):
+        py.extend(_block_py(kw, nw, c))
+    got = chacha20_words(key, nonce, 0, 48)
+    np.testing.assert_array_equal(got, np.array(py, dtype=np.uint32))
+
+
+def test_stream_and_seed():
+    s = ChaCha20Stream(key=bytes(32))
+    a = s.words(20)
+    b = s.words(20)
+    assert not np.array_equal(a, b)  # counter advanced
+    seed = ChaCha20Stream(key=bytes(32)).secure_seed()
+    assert isinstance(seed, int) and 0 <= seed < 1 << 64
+
+
+def test_native_available():
+    # the image ships a C toolchain; the native path should build
+    assert have_native()
