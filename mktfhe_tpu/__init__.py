@@ -18,9 +18,23 @@ uint64 torus support (the KMS schemes) requires jax x64 mode, enabled at
 import.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: blind-rotation scans are large programs and
+# recompiling them per process dominates cold-start time.
+_cache_dir = _os.environ.get(
+    "MKTFHE_JAX_CACHE", _os.path.expanduser("~/.cache/mktfhe_jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 from . import ring  # noqa: E402
 

@@ -318,30 +318,36 @@ def blind_rotate(tildea, tildeb, scheme: KmsScheme, params: AnyKmsParams, ctx: R
     """Two-phase multi-key blind rotation (bootstrapping.jl:369-384).
 
     tildea: [G, k*n]; tildeb: [G].  Returns acc [G, k+1, N] uint64.
+
+    Phase 1 is vmapped over the party axis with a uniform l_lev rows per
+    party (the reference spawns one task per party, :376-378; party 1's
+    extra rows beyond its single needed row are redundant but make the
+    party axis uniform, so one fused scan serves all parties -- and the
+    same code shards over a `party` mesh axis, parallel/mesh.py).  Phase 2
+    consumes row 0 only for party 1, matching the reference's iter=1
+    special case at :400,:481.
     """
     k = params.k
     g = tildea.shape[0]
     tild = tildea.reshape(g, k, params.n)
     is_block = isinstance(params, KmsBlockParams)
 
-    levkeys = []
-    for p1 in range(1, k + 1):
-        iter_rows = 1 if p1 == 1 else params.l_lev
+    def p1_fn(ta_p, brk_h, brk_s):
         if is_block:
-            lk = phase1_block(
-                tild[:, p1 - 1], scheme.brk_hat[p1 - 1], scheme.brk_shoup[p1 - 1],
-                iter_rows, scheme, params, ctx,
+            return phase1_block(
+                ta_p, brk_h, brk_s, params.l_lev, scheme, params, ctx
             )
-        else:
-            lk = phase1(
-                tild[:, p1 - 1], scheme.brk_hat[p1 - 1], scheme.brk_shoup[p1 - 1],
-                iter_rows, params, ctx,
-            )
-        levkeys.append(lk)
+        return phase1(ta_p, brk_h, brk_s, params.l_lev, params, ctx)
+
+    tild_pm = jnp.moveaxis(tild, 1, 0)  # [k, G, n]
+    levkeys = jax.vmap(p1_fn)(tild_pm, scheme.brk_hat, scheme.brk_shoup)
 
     acc = initial_acc(tildeb, params.big_n, k, ctx.dtype)
     for p1 in range(1, k + 1):
-        acc = _phase2_party(acc, levkeys[p1 - 1], p1, scheme, params, ctx)
+        iter_rows = 1 if p1 == 1 else params.l_lev
+        acc = _phase2_party(
+            acc, levkeys[p1 - 1][:, :iter_rows], p1, scheme, params, ctx
+        )
     return acc
 
 
