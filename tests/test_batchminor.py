@@ -1,0 +1,32 @@
+"""Batch-minor engine vs the reference CGGI engine: bit-identical outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mktfhe_tpu.kernels.batchminor import bootstrap_bm, convert_scheme
+from mktfhe_tpu.schemes import cggi
+from mktfhe_tpu.schemes.gates import gate_affine, lwe_decrypt_bit, lwe_encrypt_bit
+
+from test_cggi import TINY
+
+
+def test_bm_engine_bit_identical():
+    lwe_key, _rk, scheme = cggi.setup(jax.random.key(7), TINY)
+    bm = convert_scheme(scheme, TINY)
+    g = 8
+    rng = np.random.default_rng(21)
+    m1 = rng.integers(0, 2, g).astype(bool)
+    m2 = rng.integers(0, 2, g).astype(bool)
+    ct1 = lwe_encrypt_bit(jax.random.key(1), jnp.array(m1), lwe_key, TINY.alpha, (g,))
+    ct2 = lwe_encrypt_bit(jax.random.key(2), jnp.array(m2), lwe_key, TINY.alpha, (g,))
+    ct = gate_affine(0, ct1, ct2)
+
+    ref = cggi.bootstrap(ct, scheme, TINY)
+    got = bootstrap_bm(ct, bm, TINY, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_bit(got, lwe_key)),
+        np.array([not (a and b) for a, b in zip(m1, m2)]),
+    )
