@@ -40,9 +40,26 @@ def _time_bootstraps(boot, chain_step, first_ct, reps=10):
     return (time.time() - t0) / reps, out
 
 
+def _health_check(timeout_s: int = 60):
+    """Fail fast (nonzero exit) if the TPU runtime is wedged."""
+    import signal
+
+    def _alarm(signum, frame):
+        print("# TPU health check timed out; runtime unavailable", file=sys.stderr)
+        raise SystemExit(3)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout_s)
+    try:
+        jax.block_until_ready(jnp.arange(8).sum())
+    finally:
+        signal.alarm(0)
+
+
 def main():
     scheme_name = sys.argv[1] if len(sys.argv) > 1 else "cggi"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    _health_check()
 
     from mktfhe_tpu.schemes.gates import (
         gate_affine,
@@ -58,7 +75,7 @@ def main():
     want = ~(m1 & m2)  # NAND
 
     t0 = time.time()
-    if scheme_name == "cggi":
+    if scheme_name in ("cggi", "cggi-bm"):
         from mktfhe_tpu.schemes import cggi as mod
         from mktfhe_tpu.schemes.presets import CGGI_PARAM as params
 
@@ -69,9 +86,15 @@ def main():
         c1 = lwe_encrypt_bit(jax.random.key(100), jnp.array(m1), lwe_key, params.alpha, (batch,))
         first_ct = gate_affine(0, c1, ct2)
         chain_step = lambda prev: gate_affine(0, prev, ct2)
-        boot = lambda ct: mod.bootstrap(ct, scheme, params)
+        if scheme_name == "cggi-bm":
+            from mktfhe_tpu.kernels.batchminor import bootstrap_bm, convert_scheme
+
+            bm = convert_scheme(scheme, params)
+            boot = lambda ct: bootstrap_bm(ct, bm, params)
+        else:
+            boot = lambda ct: mod.bootstrap(ct, scheme, params)
         decrypt = lambda out: lwe_decrypt_bit(out, lwe_key)
-        metric = "cggi_gate_bootstraps_per_sec_per_chip"
+        metric = f"{scheme_name.replace('-', '_')}_gate_bootstraps_per_sec_per_chip"
     elif scheme_name.startswith("kms"):
         from mktfhe_tpu.schemes import kms as mod
         from mktfhe_tpu.schemes.presets import ALL_PRESETS
