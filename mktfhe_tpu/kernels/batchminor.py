@@ -162,6 +162,106 @@ def blind_rotate_bm(acc, tildea, scheme: BmScheme, params, ctx: RingCtx, interpr
     return acc
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BmKmsPhase1:
+    """KMS phase-1 keys in batch-minor form.
+
+    brk_bm: [k, n, npr', 2*l_gsw, 2, N] (+ shoup); npr' may exceed the
+    scheme's ring prime count because the evaluation-domain monomial weight
+    doubles the reconstruction bound (vs the roll used by the reference
+    engine); the phase-1 output re-enters the standard prime basis through
+    the torus domain, so phase 2 is unaffected.
+    """
+
+    brk_bm: jnp.ndarray
+    brk_bm_shoup: jnp.ndarray
+    mono_hat: jnp.ndarray
+    mono_shoup: jnp.ndarray
+
+
+def build_bm_kms_phase1(party_keys, params) -> BmKmsPhase1:
+    """Convert KMS party keys (torus domain) for the batch-minor phase 1."""
+    from ..ring.context import nprimes_needed
+    from ..ring.ntt import fwd_ntt, shoup_pair
+    from ..ring.torus import lift
+    from ..schemes.lmss import monomial_table
+
+    half_b = 1 << (params.log_b_gsw - 1)
+    npr = nprimes_needed(
+        params.ring_torus_bits, params.big_n, [(half_b, params.l_gsw * 2 * 2)]
+    )
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
+    brk = jnp.stack([pk.brk for pk in party_keys])  # [k, n, 2, l, 2, N] u64
+    hat = fwd_ntt(lift(brk, ctx.crt), ctx.plan)  # [k, n, 2, l, 2, npr', N]
+    sh = shoup_pair(hat, ctx.plan)
+
+    def relay(b):
+        k, n_bits, cin, l, cout, nq, nn = b.shape
+        return jnp.transpose(b, (0, 1, 5, 2, 3, 4, 6)).reshape(
+            k, n_bits, nq, cin * l, cout, nn
+        )
+
+    mono_hat, mono_shoup = monomial_table(ctx)
+    return BmKmsPhase1(
+        brk_bm=relay(hat),
+        brk_bm_shoup=relay(sh),
+        mono_hat=mono_hat,
+        mono_shoup=mono_shoup,
+    )
+
+
+def kms_phase1_bm(tildea_p, brk_p, brk_sh_p, phase1_keys: BmKmsPhase1, iter_rows: int, params, out_ctx: RingCtx, interpret: bool = False):
+    """Batch-minor KMS phase 1 for one party (cf. schemes/kms.py:phase1).
+
+    tildea_p: [G, n]; brk_p: [n, npr', 2l, 2, N].  Returns the party's lev
+    key in the *standard* prime basis: [G, iter_rows, 2, npr, N].
+    """
+    from ..ciphertext.rlwe import gadget_gvec
+    from ..ring.ntt import fwd_ntt
+    from ..ring.torus import lift
+
+    npr_p = brk_p.shape[1]
+    ctx_p = make_ring_ctx(params.big_n, params.ring_torus_bits, npr_p)
+    g = tildea_p.shape[0]
+    n = params.big_n
+    l = params.l_gsw
+    p = _p_col(ctx_p)
+
+    gvec = gadget_gvec(params.l_lev, params.log_b_lev, ctx_p.dtype)[:iter_rows]
+    acc = jnp.zeros((iter_rows, 2, n, g), dtype=ctx_p.dtype)
+    acc = acc.at[:, 0, 0, :].set(gvec[:, None])
+
+    def step(acc, xs):
+        brk_h, brk_s, ta = xs  # [npr', 2l, 2, N], ta [G]
+        flat = acc.reshape(iter_rows * 2, n, g)
+        dhat = decomp_hat_bm(flat, l, params.log_b_gsw, ctx_p, interpret)
+        dhat = dhat.reshape(npr_p, iter_rows, 2 * l, n, g)
+        prods = shoup_mul(
+            brk_h[:, None, :, :, :, None],
+            brk_s[:, None, :, :, :, None],
+            dhat[:, :, :, None],
+            p[..., None, None],
+        )  # [npr', rows, 2l, 2, N, G]
+        ehat = modsum(prods, 2, jnp.asarray(p[..., None]))  # [npr', rows, 2, N, G]
+        mono = jnp.transpose(phase1_keys.mono_hat[ta], (1, 2, 0))  # [npr', N, G]
+        mono_s = jnp.transpose(phase1_keys.mono_shoup[ta], (1, 2, 0))
+        weighted = shoup_mul(mono[:, None, None], mono_s[:, None, None], ehat, p[..., None])
+        e = inv_ntt_pallas(
+            weighted.reshape(npr_p, iter_rows * 2, n, g),
+            ctx_p.plan,
+            g_tile=min(g, 128),
+            interpret=interpret,
+        )
+        delta = from_crt_bm(e, ctx_p, ctx_p.dtype).reshape(iter_rows, 2, n, g)
+        return acc + delta, None
+
+    acc, _ = jax.lax.scan(step, acc, (brk_p, brk_sh_p, tildea_p.T))
+    # back to standard layout + standard prime basis for phase 2
+    acc_std = jnp.transpose(acc, (3, 0, 1, 2))  # [G, rows, 2, N]
+    return fwd_ntt(lift(acc_std, out_ctx.crt), out_ctx.plan)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
 def bootstrap_bm(ct: Lwe, scheme: BmScheme, params, interpret: bool = False) -> Lwe:
     """CGGI gate bootstrap via the batch-minor engine.

@@ -395,3 +395,37 @@ def bootstrap(ct: Lwe, scheme: KmsScheme, params: AnyKmsParams) -> Lwe:
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
     acc = blind_rotate(tildea, tildeb, scheme, params, ctx)
     return _keyswitch(acc, scheme, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def bootstrap_bm(ct: Lwe, scheme: KmsScheme, phase1_keys, params: AnyKmsParams, interpret: bool = False) -> Lwe:
+    """KMS bootstrap with the batch-minor Pallas phase-1 engine.
+
+    phase1_keys: kernels.batchminor.BmKmsPhase1 (from build_bm_kms_phase1).
+    Phase 2 and the key switch reuse the reference engine; results are
+    bit-identical to `bootstrap` (same exact integers).
+    """
+    from ..kernels.batchminor import kms_phase1_bm
+
+    ctx = _ctx(params)
+    k = params.k
+    tildeb, tildea = mod_switch_2n(ct, params.big_n)
+    g = tildea.shape[0]
+    tild = jnp.moveaxis(tildea.reshape(g, k, params.n), 1, 0)  # [k, G, n]
+
+    # python loop over parties (k is static; avoids vmapping pallas_call)
+    levkeys = [
+        kms_phase1_bm(
+            tild[i], phase1_keys.brk_bm[i], phase1_keys.brk_bm_shoup[i],
+            phase1_keys, params.l_lev, params, ctx, interpret,
+        )
+        for i in range(k)
+    ]
+
+    acc = initial_acc(tildeb, params.big_n, k, ctx.dtype)
+    for p1 in range(1, k + 1):
+        iter_rows = 1 if p1 == 1 else params.l_lev
+        acc = _phase2_party(
+            acc, levkeys[p1 - 1][:, :iter_rows], p1, scheme, params, ctx
+        )
+    return _keyswitch(acc, scheme, params)
