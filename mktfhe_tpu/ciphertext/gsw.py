@@ -16,7 +16,6 @@ plain array adds on the stack and actually work.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..ring.context import RingCtx

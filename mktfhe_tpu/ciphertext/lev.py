@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .keys import LweKey
-from .lwe import Lwe, lwe_encrypt, lwe_ith_encrypt
+from .lwe import lwe_encrypt, lwe_ith_encrypt
 from .rlwe import gadget_gvec
 
 

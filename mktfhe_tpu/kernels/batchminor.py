@@ -25,10 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ciphertext.decomp import balanced_decomp
-from ..ciphertext.keys import LweKey  # noqa: F401  (re-export convenience)
 from ..ciphertext.lwe import Lwe
 from ..ring.context import RingCtx, make_ring_ctx
-from ..ring.modring import addmod, modsum, shoup_mul
+from ..ring.modring import modsum, shoup_mul
 from ..ring.torus import bits_of
 from .ntt_pallas import fwd_ntt_pallas, inv_ntt_pallas
 

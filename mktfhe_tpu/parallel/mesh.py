@@ -25,7 +25,7 @@ from ..ciphertext.lwe import Lwe
 from ..ring.context import make_ring_ctx
 from ..schemes import kms
 from ..schemes.common import initial_acc, mod_switch_2n
-from ..schemes.params import KmsBlockParams, KmsParams
+from ..schemes.params import KmsBlockParams
 
 
 def make_mesh(n_party: int, n_batch: int) -> Mesh:

@@ -23,9 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ciphertext.decomp import balanced_decomp
-from ..ciphertext.keys import LweKey, RingKey, binary_lwe_key, binary_ring_key
+from ..ciphertext.keys import binary_lwe_key, binary_ring_key
 from ..ciphertext.lwe import Lwe
-from ..ciphertext.unienc import UniEnc, gen_b, sample_crs, unienc_encrypt
+from ..ciphertext.unienc import gen_b, sample_crs, unienc_encrypt
 from ..ring.context import RingCtx, make_ring_ctx
 from ..ring.modring import addmod, modsum, negmod, shoup_mul
 from ..ring.ntt import fwd_ntt, inv_ntt, shoup_pair

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ciphertext.gsw import external_product_hat, rgsw_encrypt, rgsw_to_hat, rlwe_decomp_hat
-from ..ciphertext.keys import LweKey, RingKey, binary_lwe_key, binary_ring_key
+from ..ciphertext.keys import binary_lwe_key, binary_ring_key
 from ..ciphertext.lwe import Lwe
 from ..ring.context import RingCtx, make_ring_ctx
 from ..ring.ntt import inv_ntt

@@ -12,7 +12,6 @@ ones -- the reference evaluates one gate at a time).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..ciphertext.keys import LweKey

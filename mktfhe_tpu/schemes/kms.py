@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ciphertext.decomp import balanced_decomp
-from ..ciphertext.gsw import external_product_hat, rgsw_encrypt, rgsw_to_hat
+from ..ciphertext.gsw import external_product_hat, rgsw_encrypt
 from ..ciphertext.keys import (
     binary_lwe_key,
     binary_ring_key,

@@ -29,7 +29,7 @@ from ..ciphertext.gsw import external_product_hat, rgsw_encrypt, rgsw_to_hat, rl
 from ..ciphertext.keys import block_binary_lwe_key, partial_ring_key
 from ..ciphertext.lwe import Lwe
 from ..ring.context import RingCtx, make_ring_ctx
-from ..ring.modring import addmod, modsum, shoup_mul
+from ..ring.modring import addmod, shoup_mul
 from ..ring.ntt import fwd_ntt, inv_ntt, shoup_pair
 from ..ring.torus import from_crt, lift
 from .common import build_ksk, initial_acc, keyswitch_partial, mod_switch_2n

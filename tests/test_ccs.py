@@ -19,6 +19,10 @@ TINY = CcsParams(
     n=8, alpha=16.0, f=8, log_d=2, big_n=64, beta=4.0, l_uni=3, log_b_uni=8, k=2
 )
 
+TINY4 = CcsParams(
+    n=8, alpha=16.0, f=8, log_d=2, big_n=64, beta=4.0, l_uni=3, log_b_uni=8, k=4
+)
+
 
 @pytest.fixture(scope="module")
 def tiny_mk():
@@ -49,3 +53,30 @@ def test_mk_gates(tiny_mk):
     got = np.asarray(lwe_decrypt_bit_mk(out, lwe_keys))
     want = np.array([CLEAR_OPS[o](bool(a), bool(b)) for o, a, b in zip(ops, m1, m2)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_mk_gates_k4():
+    """Four parties: the growing-mask party loop beyond k=2."""
+    params = TINY4
+    a = ccs.crs(jax.random.key(500), params)
+    parties = [
+        ccs.party_keygen(jax.random.key(600 + i), a, params) for i in range(params.k)
+    ]
+    lwe_keys = [p[0] for p in parties]
+    scheme = ccs.setup(a, [p[2] for p in parties], params)
+    rng = np.random.default_rng(11)
+    g = 2
+    ms = rng.integers(0, 2, size=(params.k, g)).astype(bool)
+    cts = [
+        lwe_ith_encrypt_bit(
+            jax.random.key(700 + i), jnp.array(ms[i]), i, lwe_keys[i],
+            params.alpha, params.k, (g,),
+        )
+        for i in range(params.k)
+    ]
+    res, mres = cts[0], ms[0]
+    for i in range(1, params.k):
+        res = ccs.bootstrap(gate_affine(GATE_IDS["NAND"], res, cts[i]), scheme, params)
+        mres = np.array([not (x and y) for x, y in zip(mres, ms[i])])
+    got = np.asarray(lwe_decrypt_bit_mk(res, lwe_keys))
+    np.testing.assert_array_equal(got, mres)
