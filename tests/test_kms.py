@@ -58,3 +58,30 @@ def test_kms_gates():
 
 def test_kms_block_gates():
     _run_gates(TINY_BLOCK)
+
+
+def test_kms_k4_phase2_depth():
+    """k=4: exercises phase-2 merge depth beyond two parties."""
+    params = KmsParams(
+        n=4, alpha=16.0, f=8, log_d=2, big_n=64, beta=4.0,
+        l_gsw=3, log_b_gsw=8, l_lev=2, log_b_lev=8, l_uni=3, log_b_uni=8, k=4,
+    )
+    a = kms.crs(jax.random.key(800), params)
+    parties = [
+        kms.party_keygen(jax.random.key(900 + i), a, params) for i in range(params.k)
+    ]
+    lwe_keys = [p[0] for p in parties]
+    scheme = kms.setup(a, [p[3] for p in parties], params)
+    rng = np.random.default_rng(23)
+    g = 2
+    ms = rng.integers(0, 2, size=(2, g)).astype(bool)
+    ct1 = lwe_ith_encrypt_bit(
+        jax.random.key(1), jnp.array(ms[0]), 0, lwe_keys[0], params.alpha, params.k, (g,)
+    )
+    ct2 = lwe_ith_encrypt_bit(
+        jax.random.key(2), jnp.array(ms[1]), 3, lwe_keys[3], params.alpha, params.k, (g,)
+    )
+    out = kms.bootstrap(gate_affine(GATE_IDS["NOR"], ct1, ct2), scheme, params)
+    got = np.asarray(lwe_decrypt_bit_mk(out, lwe_keys))
+    want = np.array([not (x or y) for x, y in zip(ms[0], ms[1])])
+    np.testing.assert_array_equal(got, want)
