@@ -34,3 +34,19 @@ def test_sharded_matches_single_device():
     out = kms_bootstrap_sharded(ct, sh, params, mesh)
     np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
     np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+
+
+def test_shardmap_matches_single_device():
+    """Explicit shard_map phase 1 + all_gather: bit-identical too."""
+    from mktfhe_tpu.parallel import kms_bootstrap_shardmap, make_mesh, shard_scheme
+    from mktfhe_tpu.schemes import kms
+
+    params = graft._TINY_PARAMS
+    ct, scheme = graft._make_inputs(params, g=4)
+    ref = kms.bootstrap(ct, scheme, params)
+
+    mesh = make_mesh(2, 4)
+    sh = shard_scheme(scheme, mesh)
+    out = kms_bootstrap_shardmap(ct, sh, params, mesh)
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
