@@ -58,6 +58,13 @@ def run_config(name: str, batch: int, reps: int = 8):
             bm = convert_scheme(scheme, params)
             jax.block_until_ready(bm.brk_bm)
             boot = lambda ct: bootstrap_bm(ct, bm, params)
+        elif name == "cggi-fused":
+            from mktfhe_tpu.kernels.batchminor import convert_scheme
+            from mktfhe_tpu.kernels.fused_step import bootstrap_fused
+
+            bm = convert_scheme(scheme, params)
+            jax.block_until_ready(bm.brk_bm)
+            boot = lambda ct: bootstrap_fused(ct, bm, params)
         else:
             boot = lambda ct: cggi.bootstrap(ct, scheme, params)
         decrypt = lambda o: lwe_decrypt_bit(o, lwe_key)
@@ -126,6 +133,7 @@ def run_config(name: str, batch: int, reps: int = 8):
 def main():
     args = sys.argv[1:] or [
         "cggi:64", "cggi:256", "cggi-bm:64", "cggi-bm:256",
+        "cggi-fused:64", "cggi-fused:256",
         "lmss:64", "kms2:16", "kms2-bm:16", "kms8:8", "kms8-bm:8",
     ]
     results = []
