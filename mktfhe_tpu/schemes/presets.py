@@ -98,6 +98,21 @@ KMS_32PARTY_BLOCK = KmsBlockParams(
     l_uni=16, log_b_uni=2, k=32,
 )
 
+# Reduced-dimension presets for demos/CI only -- NOT cryptographically
+# secure parameters (the 16 sets above mirror the reference's).
+TINY_CGGI = CggiParams(
+    n=16, alpha=16.0, f=8, log_d=2, big_n=64, k=1, beta=16.0, l_gsw=3, log_b_gsw=8
+)
+TINY_KMS_2PARTY = KmsParams(
+    n=8, alpha=16.0, f=8, log_d=2, big_n=64, beta=4.0,
+    l_gsw=3, log_b_gsw=8, l_lev=2, log_b_lev=8, l_uni=3, log_b_uni=8, k=2,
+)
+
+TEST_PRESETS = {
+    "TinyCGGI": TINY_CGGI,
+    "TinyKMS2party": TINY_KMS_2PARTY,
+}
+
 ALL_PRESETS = {
     "CGGI": CGGI_PARAM,
     "Block": BLOCK_PARAM,
@@ -115,4 +130,5 @@ ALL_PRESETS = {
     "KMS8partyblock": KMS_8PARTY_BLOCK,
     "KMS16partyblock": KMS_16PARTY_BLOCK,
     "KMS32partyblock": KMS_32PARTY_BLOCK,
+    **TEST_PRESETS,
 }
