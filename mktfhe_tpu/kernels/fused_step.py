@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ciphertext.lwe import Lwe
 from ..ring.context import RingCtx, make_ring_ctx
-from .ntt_pallas import _fwd_body, _inv_body, _shoup
+from .ntt_pallas import _fwd_body, _inv_body, _shoup, stage_tables
 
 U32 = jnp.uint32
 
@@ -90,9 +90,14 @@ def make_cggi_step_kernel(params, ctx: RingCtx, g_tile: int, interpret: bool):
     npr = ctx.nprimes
     l, log_b = params.l_gsw, params.log_b_gsw
     cpl = 2 * l  # cin * l
-    primes = [int(p) for p in ctx.plan.primes]
+    (
+        fwd_tw, fwd_sh, fwd_msk, shifts_fwd,
+        inv_tw, inv_sh, inv_msk, shifts_inv,
+        primes, ninvs, ninv_shs,
+    ) = stage_tables(n, npr)
+    s_count = len(shifts_fwd)
 
-    def kernel(psi_ref, psish_ref, ipsi_ref, ipsish_ref, acc_ref, brk_ref, brks_ref, mono_ref, monos_ref, out_ref):
+    def kernel(tw_ref, twsh_ref, msk_ref, itw_ref, itwsh_ref, imsk_ref, acc_ref, brk_ref, brks_ref, mono_ref, monos_ref, out_ref):
         acc = acc_ref[:]  # [2, N, Gt]
         gt = acc.shape[-1]
         # decompose both components: digits[j][c] for level j, comp c
@@ -110,7 +115,7 @@ def make_cggi_step_kernel(params, ctx: RingCtx, g_tile: int, interpret: bool):
                     d = digs[c][j]
                     rows.append(jnp.where(d < 0, d + pi32, d).astype(U32))
             dr = jnp.stack(rows, axis=0)
-            dhat = _fwd_body(dr, psi_ref[q], psish_ref[q], p, n)  # [cpl, N, Gt]
+            dhat = _fwd_body(dr, tw_ref, twsh_ref, msk_ref, shifts_fwd, q, p, n)
             # external product: eh[cout] = sum_j brk[q, j, cout] * dhat[j]
             outs = []
             for cout in range(2):
@@ -130,18 +135,22 @@ def make_cggi_step_kernel(params, ctx: RingCtx, g_tile: int, interpret: bool):
             mono = mono_ref[q][None]  # [1, N, Gt]
             mono_s = monos_ref[q][None]
             w = _shoup(mono, mono_s, eh, p)
-            rs.append(_inv_body(w, ipsi_ref[q], ipsish_ref[q], U32(_NINV[q]), U32(_NINV_SH[q]), p, n))
+            rs.append(
+                _inv_body(
+                    w, itw_ref, itwsh_ref, imsk_ref, shifts_inv, q, p, n,
+                    U32(ninvs[q]), U32(ninv_shs[q]),
+                )
+            )
         delta = _garner_u32(rs, primes)  # [2, N, Gt]
         out_ref[:] = acc + delta
 
-    _NINV = [int(v) for v in ctx.plan.n_inv]
-    _NINV_SH = [int(v) for v in ctx.plan.n_inv_shoup]
-
     tabs = [
-        jnp.asarray(ctx.plan.psi_brv),
-        jnp.asarray(ctx.plan.psi_brv_shoup),
-        jnp.asarray(ctx.plan.ipsi_brv),
-        jnp.asarray(ctx.plan.ipsi_brv_shoup),
+        jnp.asarray(fwd_tw),
+        jnp.asarray(fwd_sh),
+        jnp.asarray(fwd_msk),
+        jnp.asarray(inv_tw),
+        jnp.asarray(inv_sh),
+        jnp.asarray(inv_msk),
     ]
 
     def step(acc, brk, brk_sh, mono, mono_sh):
@@ -151,10 +160,12 @@ def make_cggi_step_kernel(params, ctx: RingCtx, g_tile: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
             grid=(g // g_tile,),
             in_specs=[
-                pl.BlockSpec((npr, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((npr, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((npr, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((npr, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_count, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_count, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, n, g_tile), lambda b: (0, 0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec((npr, cpl, 2, n), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((npr, cpl, 2, n), lambda b: (0, 0, 0, 0), memory_space=pltpu.VMEM),

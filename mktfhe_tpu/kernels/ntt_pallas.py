@@ -3,23 +3,30 @@
 The jnp NTT (ring/ntt.py) materializes every butterfly stage through HBM
 and runs butterflies across the lane dimension (N minor), which forces
 lane shuffles.  This kernel uses the TPU-native layout: the *batch* is the
-minor (lane) dimension and N lives on sublanes, so a butterfly pairs whole
-vector rows; all log2(N) stages run out of VMEM in one kernel launch.
+minor (lane) dimension and N lives on sublanes, and each butterfly stage
+is two circular rolls along the N axis plus elementwise selects --
+  partner[i] = a[i XOR t] = where(bit_t(i), roll(a, t), roll(a, -t))
+-- with per-position twiddle/mask tables precomputed per stage.  No
+reshapes or stacks touch tiled dimensions inside the kernel (Mosaic
+supports rolls and elementwise ops on any stride), and all log2(N) stages
+run out of VMEM in one launch.
 
 Grid: one program per batch tile; the 2-4 CRT primes are a static loop
-inside the kernel (per-prime twiddle tables and modulus).
-
-The transform is bit-identical to ring/ntt.py (same merged-twist CT/GS
-formulation, eprint 2016/504), verified by tests/test_pallas.py.
+inside the kernel.  Bit-identical to ring/ntt.py (same merged-twist CT/GS
+formulation, eprint 2016/504) -- tests/test_pallas.py.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ring.modring import shoup
 from ..ring.ntt import NttPlan
 
 U32 = jnp.uint32
@@ -45,46 +52,116 @@ def _shoup(w, w_sh, a, p):
     return jnp.where(r >= p, r - p, r)
 
 
-def _fwd_body(a, psi, psi_sh, p, n):
-    """One prime's forward transform; a: [R, N, Gt] values < p."""
-    r_dim, _, gt = a.shape
+@functools.lru_cache(maxsize=None)
+def stage_tables(n: int, nprimes: int):
+    """Per-stage full-length tables for the roll+select butterflies.
+
+    Returns numpy arrays:
+      fwd_tw, fwd_tw_sh: [npr, S, N] twiddles broadcast to every position
+      inv_tw, inv_tw_sh: [npr, S, N] (inverse; last stage folds 1/N)
+      fwd_mask, inv_mask: [S, N] uint32 (1 where bit_t(i) is set)
+      shifts_fwd, shifts_inv: python lists of per-stage strides t
+    """
+    from ..ring.ntt import make_plan
+
+    plan = make_plan(n, nprimes)
+    s_count = n.bit_length() - 1
+    idx = np.arange(n)
+
+    fwd_tw = np.zeros((nprimes, s_count, n), dtype=np.uint32)
+    fwd_msk = np.zeros((s_count, n), dtype=np.uint32)
+    shifts_fwd = []
     m = 1
     t = n
-    while m < n:
+    for s in range(s_count):
         t //= 2
-        x = a.reshape(r_dim, m, 2, t, gt)
-        s = psi[m : 2 * m].reshape(1, m, 1, 1)
-        s_sh = psi_sh[m : 2 * m].reshape(1, m, 1, 1)
-        u = x[:, :, 0]
-        v = _shoup(s, s_sh, x[:, :, 1], p)
-        hi = u + v
-        hi = jnp.where(hi >= p, hi - p, hi)
-        lo = u + (p - v)
-        lo = jnp.where(lo >= p, lo - p, lo)
-        a = jnp.stack([hi, lo], axis=2).reshape(r_dim, n, gt)
+        logt = t.bit_length() - 1
+        blk = idx >> (logt + 1)
+        for q in range(nprimes):
+            fwd_tw[q, s] = plan.psi_brv[q][m + blk]
+        fwd_msk[s] = (idx >> logt) & 1
+        shifts_fwd.append(t)
         m *= 2
+
+    inv_tw = np.zeros((nprimes, s_count, n), dtype=np.uint32)
+    inv_msk = np.zeros((s_count, n), dtype=np.uint32)
+    shifts_inv = []
+    t = 1
+    m = n
+    for s in range(s_count):
+        h = m // 2
+        logt = t.bit_length() - 1
+        blk = idx >> (logt + 1)
+        for q in range(nprimes):
+            inv_tw[q, s] = plan.ipsi_brv[q][h + blk]
+        inv_msk[s] = (idx >> logt) & 1
+        shifts_inv.append(t)
+        t *= 2
+        m = h
+
+    # fold N^{-1} into the last inverse stage's twiddles AND supply it for
+    # the u-half (which is otherwise unscaled): handled by a final scale
+    # table instead -- simpler: keep a separate [npr] n_inv pair.
+    primes = [int(p) for p in plan.primes]
+    fwd_sh = np.zeros_like(fwd_tw)
+    inv_sh = np.zeros_like(inv_tw)
+    for q in range(nprimes):
+        p = primes[q]
+        fwd_sh[q] = ((fwd_tw[q].astype(object) << 32) // p).astype(np.uint64).astype(np.uint32)
+        inv_sh[q] = ((inv_tw[q].astype(object) << 32) // p).astype(np.uint64).astype(np.uint32)
+    return (
+        fwd_tw, fwd_sh, np.asarray(fwd_msk), shifts_fwd,
+        inv_tw, inv_sh, np.asarray(inv_msk), shifts_inv,
+        primes,
+        [int(v) for v in plan.n_inv],
+        [int(v) for v in plan.n_inv_shoup],
+    )
+
+
+def _roll_n(a, shift: int, n: int):
+    """Circular roll along the N axis (-2) by a static shift (made
+    non-negative for Mosaic)."""
+    return pltpu.roll(a, shift % n, axis=a.ndim - 2)
+
+
+def _fwd_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int):
+    """Forward transform for one prime; a: [..., N, Gt] values < p.
+
+    tw_ref/tw_sh_ref: refs (or arrays) indexable as [q, s] -> [N];
+    msk_ref as [s] -> [N].
+    """
+    for s, t in enumerate(shifts):
+        tw = tw_ref[q, s][:, None]
+        tw_sh = tw_sh_ref[q, s][:, None]
+        msk = msk_ref[s][:, None]
+        is_v = msk != 0
+        partner = jnp.where(is_v, _roll_n(a, t, n), _roll_n(a, -t, n))
+        u = jnp.where(is_v, partner, a)
+        v = jnp.where(is_v, a, partner)
+        vw = _shoup(tw, tw_sh, v, p)
+        hi = u + vw
+        hi = jnp.where(hi >= p, hi - p, hi)
+        lo = u + (p - vw)
+        lo = jnp.where(lo >= p, lo - p, lo)
+        a = jnp.where(is_v, lo, hi)
     return a
 
 
-def _inv_body(a, ipsi, ipsi_sh, ninv, ninv_sh, p, n):
-    r_dim, _, gt = a.shape
-    t = 1
-    m = n
-    while m > 1:
-        h = m // 2
-        x = a.reshape(r_dim, h, 2, t, gt)
-        s = ipsi[h : 2 * h].reshape(1, h, 1, 1)
-        s_sh = ipsi_sh[h : 2 * h].reshape(1, h, 1, 1)
-        u = x[:, :, 0]
-        v = x[:, :, 1]
+def _inv_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int, ninv, ninv_sh):
+    for s, t in enumerate(shifts):
+        tw = tw_ref[q, s][:, None]
+        tw_sh = tw_sh_ref[q, s][:, None]
+        msk = msk_ref[s][:, None]
+        is_v = msk != 0
+        partner = jnp.where(is_v, _roll_n(a, t, n), _roll_n(a, -t, n))
+        u = jnp.where(is_v, partner, a)
+        v = jnp.where(is_v, a, partner)
         hi = u + v
         hi = jnp.where(hi >= p, hi - p, hi)
         d = u + (p - v)
         d = jnp.where(d >= p, d - p, d)
-        lo = _shoup(s, s_sh, d, p)
-        a = jnp.stack([hi, lo], axis=2).reshape(r_dim, n, gt)
-        t *= 2
-        m = h
+        lo = _shoup(tw, tw_sh, d, p)
+        a = jnp.where(is_v, lo, hi)
     return _shoup(ninv, ninv_sh, a, p)
 
 
@@ -92,42 +169,46 @@ def _make_call(plan: NttPlan, x, g_tile: int, interpret: bool, forward: bool):
     npr, r_dim, n, g = x.shape
     assert npr == plan.nprimes and n == plan.n
     assert g % g_tile == 0
-    primes = [int(p) for p in plan.primes]
-    ninvs = [int(v) for v in plan.n_inv]
-    ninv_shs = [int(v) for v in plan.n_inv_shoup]
+    (
+        fwd_tw, fwd_sh, fwd_msk, shifts_fwd,
+        inv_tw, inv_sh, inv_msk, shifts_inv,
+        primes, ninvs, ninv_shs,
+    ) = stage_tables(n, npr)
+    s_count = len(shifts_fwd)
 
-    def kernel(psi_ref, psish_ref, x_ref, o_ref):
+    def kernel(tw_ref, twsh_ref, msk_ref, x_ref, o_ref):
         for q in range(npr):
             p = U32(primes[q])
             a = x_ref[q]
             if forward:
-                out = _fwd_body(a, psi_ref[q], psish_ref[q], p, n)
+                out = _fwd_body(a, tw_ref, twsh_ref, msk_ref, shifts_fwd, q, p, n)
             else:
                 out = _inv_body(
-                    a, psi_ref[q], psish_ref[q], U32(ninvs[q]), U32(ninv_shs[q]), p, n
+                    a, tw_ref, twsh_ref, msk_ref, shifts_inv, q, p, n,
+                    U32(ninvs[q]), U32(ninv_shs[q]),
                 )
             o_ref[q, :, :, :] = out
 
-    tab = plan.psi_brv if forward else plan.ipsi_brv
-    tab_sh = plan.psi_brv_shoup if forward else plan.ipsi_brv_shoup
+    tw = fwd_tw if forward else inv_tw
+    tw_s = fwd_sh if forward else inv_sh
+    msk = fwd_msk if forward else inv_msk
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(g // g_tile,),
         in_specs=[
-            pl.BlockSpec((npr, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((npr, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_count, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (npr, r_dim, n, g_tile),
-                lambda b: (0, 0, 0, b),
-                memory_space=pltpu.VMEM,
+                (npr, r_dim, n, g_tile), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (npr, r_dim, n, g_tile), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(jnp.asarray(tab), jnp.asarray(tab_sh), x)
+    )(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
 
 
 def fwd_ntt_pallas(x, plan: NttPlan, g_tile: int = 128, interpret: bool = False):
