@@ -119,9 +119,9 @@ def stage_tables(n: int, nprimes: int):
 
 
 def _roll_n(a, shift: int, n: int):
-    """Circular roll along the N axis (-2) by a static shift (made
-    non-negative for Mosaic)."""
-    return pltpu.roll(a, shift % n, axis=a.ndim - 2)
+    """Circular roll along the N axis (-2) by a static shift (non-negative,
+    int32: tpu.dynamic_rotate rejects the i64 scalars x64 mode produces)."""
+    return pltpu.roll(a, jnp.int32(shift % n), axis=a.ndim - 2)
 
 
 def _fwd_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int):
@@ -219,3 +219,118 @@ def fwd_ntt_pallas(x, plan: NttPlan, g_tile: int = 128, interpret: bool = False)
 def inv_ntt_pallas(x, plan: NttPlan, g_tile: int = 128, interpret: bool = False):
     """Inverse NTT in batch-minor layout."""
     return _make_call(plan, jnp.asarray(x), g_tile, interpret, forward=False)
+
+
+# ─── Natural-layout kernel ("layout B") ──────────────────────────────────
+#
+# Mosaic requires the last two block dims divisible by (8, 128).  Flattening
+# the prime axis into the minor dimension -- [rows, npr*N] -- satisfies this
+# for any N >= 128 without transposing anything: [..., npr, N] arrays are
+# contiguous in exactly this layout.  Rows (the flattened batch) pad to 8.
+# Butterflies roll along the minor axis inside each prime's N-slice.
+
+
+def _nat_body(a_slice, tw, tw_sh, msk, shifts, p, n, forward, ninv=None, ninv_sh=None):
+    """One prime's transform; a_slice [rows, N] (N minor); tables [S, N]."""
+    for s, t in enumerate(shifts):
+        tws = tw[s][None, :]
+        tws_sh = tw_sh[s][None, :]
+        is_v = msk[s][None, :] != 0
+        rolled_p = pltpu.roll(a_slice, jnp.int32(t % n), axis=1)
+        rolled_m = pltpu.roll(a_slice, jnp.int32((-t) % n), axis=1)
+        partner = jnp.where(is_v, rolled_p, rolled_m)
+        u = jnp.where(is_v, partner, a_slice)
+        v = jnp.where(is_v, a_slice, partner)
+        if forward:
+            vw = _shoup(tws, tws_sh, v, p)
+            hi = u + vw
+            hi = jnp.where(hi >= p, hi - p, hi)
+            lo = u + (p - vw)
+            lo = jnp.where(lo >= p, lo - p, lo)
+        else:
+            hi = u + v
+            hi = jnp.where(hi >= p, hi - p, hi)
+            d = u + (p - v)
+            d = jnp.where(d >= p, d - p, d)
+            lo = _shoup(tws, tws_sh, d, p)
+        a_slice = jnp.where(is_v, lo, hi)
+    if not forward:
+        a_slice = _shoup(ninv, ninv_sh, a_slice, p)
+    return a_slice
+
+
+def _nat_call(plan: NttPlan, x, r_tile: int, interpret: bool, forward: bool):
+    """x: [R, npr*N] uint32; R divisible by r_tile (r_tile % 8 == 0)."""
+    npr, n = plan.nprimes, plan.n
+    r_all = x.shape[0]
+    (
+        fwd_tw, fwd_sh, fwd_msk, shifts_fwd,
+        inv_tw, inv_sh, inv_msk, shifts_inv,
+        primes, ninvs, ninv_shs,
+    ) = stage_tables(n, npr)
+    tw = fwd_tw if forward else inv_tw
+    tw_s = fwd_sh if forward else inv_sh
+    msk = fwd_msk if forward else inv_msk
+    shifts = shifts_fwd if forward else shifts_inv
+    # pad the stage axis to a sublane multiple (Mosaic tiling constraint)
+    s_pad = (-len(shifts)) % 8
+    if s_pad:
+        zt = np.zeros((npr, s_pad, n), dtype=np.uint32)
+        zm = np.zeros((s_pad, n), dtype=np.uint32)
+        tw = np.concatenate([tw, zt], axis=1)
+        tw_s = np.concatenate([tw_s, zt], axis=1)
+        msk = np.concatenate([msk, zm], axis=0)
+    s_count = len(shifts) + s_pad
+
+    def kernel(tw_ref, twsh_ref, msk_ref, x_ref, o_ref):
+        for q in range(npr):
+            p = U32(primes[q])
+            sl = x_ref[:, q * n : (q + 1) * n]
+            out = _nat_body(
+                sl, tw_ref[q], twsh_ref[q], msk_ref, shifts, p, n, forward,
+                U32(ninvs[q]), U32(ninv_shs[q]),
+            )
+            o_ref[:, q * n : (q + 1) * n] = out
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(r_all // r_tile,),
+        in_specs=[
+            pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_count, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tile, npr * n), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (r_tile, npr * n), lambda b: (b, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
+
+
+def _nat_transform(a, plan: NttPlan, forward: bool, r_tile: int, interpret: bool):
+    """a: [..., npr, N] -> same, transformed; natural layout, no transposes."""
+    npr, n = plan.nprimes, plan.n
+    lead = a.shape[:-2]
+    import math
+
+    r_all = math.prod(lead) if lead else 1
+    x = a.reshape(r_all, npr * n)
+    pad = (-r_all) % r_tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, npr * n), x.dtype)], axis=0)
+    y = _nat_call(plan, x, r_tile, interpret, forward)
+    if pad:
+        y = y[:r_all]
+    return y.reshape(*lead, npr, n)
+
+
+def fwd_ntt_nat(a, plan: NttPlan, r_tile: int = 256, interpret: bool = False):
+    """Drop-in Pallas replacement for ring.ntt.fwd_ntt ([..., npr, N])."""
+    return _nat_transform(jnp.asarray(a), plan, True, r_tile, interpret)
+
+
+def inv_ntt_nat(a, plan: NttPlan, r_tile: int = 256, interpret: bool = False):
+    """Drop-in Pallas replacement for ring.ntt.inv_ntt ([..., npr, N])."""
+    return _nat_transform(jnp.asarray(a), plan, False, r_tile, interpret)
