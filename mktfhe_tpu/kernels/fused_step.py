@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ciphertext.lwe import Lwe
 from ..ring.context import RingCtx, make_ring_ctx
-from .ntt_pallas import _fwd_body, _inv_body, _shoup, stage_tables
+from .ntt_pallas import _fwd_body, _inv_body, _shoup, stage_tables, x32_trace
 
 U32 = jnp.uint32
 
@@ -155,7 +155,7 @@ def make_cggi_step_kernel(params, ctx: RingCtx, g_tile: int, interpret: bool):
 
     def step(acc, brk, brk_sh, mono, mono_sh):
         g = acc.shape[-1]
-        return pl.pallas_call(
+        return x32_trace(pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
             grid=(g // g_tile,),
@@ -176,7 +176,7 @@ def make_cggi_step_kernel(params, ctx: RingCtx, g_tile: int, interpret: bool):
                 (2, n, g_tile), lambda b: (0, 0, b), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(*tabs, acc, brk, brk_sh, mono, mono_sh)
+        ))(*tabs, acc, brk, brk_sh, mono, mono_sh)
 
     return step
 
@@ -193,7 +193,12 @@ def bootstrap_fused(ct: Lwe, scheme, params, g_tile: int = 64, interpret: bool =
     ctx = make_ring_ctx(params.big_n, params.torus_bits, params.nprimes)
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
     g = tildea.shape[0]
-    gt = min(g_tile, g)
+    # Mosaic lane constraint: the G block must be a multiple of 128 or the
+    # whole axis.  g <= g_tile keeps one block; otherwise round to 128s,
+    # falling back to the whole axis for batches not divisible by 128.
+    gt = g if g <= g_tile else max(128, (g_tile // 128) * 128)
+    if g % gt != 0:
+        gt = g
     acc = jnp.transpose(initial_acc(tildeb, params.big_n, params.k, ctx.dtype), (1, 2, 0))
     step_fn = make_cggi_step_kernel(params, ctx, gt, interpret)
 

@@ -32,6 +32,22 @@ from ..ring.ntt import NttPlan
 U32 = jnp.uint32
 
 
+def x32_trace(fn):
+    """Trace `fn` (a pallas_call invocation) with x64 disabled.
+
+    All kernels here are pure uint32 in/out, but under jax_enable_x64 the
+    BlockSpec index maps trace to i64 scalars, which the TPU runtime's
+    Mosaic pipeline fails to legalize ("func.return (i64, i64, i64)").
+    Disabling x64 for the trace only changes those index dtypes."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def _mulhi(x, y):
     m16 = U32(0xFFFF)
     x0 = x & m16
@@ -165,6 +181,17 @@ def _inv_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int, ninv, ni
     return _shoup(ninv, ninv_sh, a, p)
 
 
+def _pick_r_tile(r_dim: int, n: int, g_tile: int, budget_bytes: int = 2 << 20):
+    """Largest divisor of r_dim whose [r_tile, N, Gt] u32 block stays under
+    the budget (Mosaic's 16M scoped-vmem limit must also hold the unrolled
+    stage temporaries, ~6x the live block)."""
+    best = 1
+    for r_tile in range(1, r_dim + 1):
+        if r_dim % r_tile == 0 and r_tile * n * g_tile * 4 <= budget_bytes:
+            best = r_tile
+    return best
+
+
 def _make_call(plan: NttPlan, x, g_tile: int, interpret: bool, forward: bool):
     npr, r_dim, n, g = x.shape
     assert npr == plan.nprimes and n == plan.n
@@ -175,40 +202,45 @@ def _make_call(plan: NttPlan, x, g_tile: int, interpret: bool, forward: bool):
         primes, ninvs, ninv_shs,
     ) = stage_tables(n, npr)
     s_count = len(shifts_fwd)
+    r_tile = _pick_r_tile(r_dim, n, g_tile)
 
     def kernel(tw_ref, twsh_ref, msk_ref, x_ref, o_ref):
-        for q in range(npr):
-            p = U32(primes[q])
-            a = x_ref[q]
-            if forward:
-                out = _fwd_body(a, tw_ref, twsh_ref, msk_ref, shifts_fwd, q, p, n)
-            else:
-                out = _inv_body(
-                    a, tw_ref, twsh_ref, msk_ref, shifts_inv, q, p, n,
-                    U32(ninvs[q]), U32(ninv_shs[q]),
-                )
-            o_ref[q, :, :, :] = out
+        q = pl.program_id(0)
+        for qs in range(npr):
+
+            @pl.when(q == qs)
+            def _():
+                p = U32(primes[qs])
+                a = x_ref[0]
+                if forward:
+                    out = _fwd_body(a, tw_ref, twsh_ref, msk_ref, shifts_fwd, qs, p, n)
+                else:
+                    out = _inv_body(
+                        a, tw_ref, twsh_ref, msk_ref, shifts_inv, qs, p, n,
+                        U32(ninvs[qs]), U32(ninv_shs[qs]),
+                    )
+                o_ref[0, :, :, :] = out
 
     tw = fwd_tw if forward else inv_tw
     tw_s = fwd_sh if forward else inv_sh
     msk = fwd_msk if forward else inv_msk
-    return pl.pallas_call(
+    return x32_trace(pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(g // g_tile,),
+        grid=(npr, r_dim // r_tile, g // g_tile),
         in_specs=[
-            pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((npr, s_count, n), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_count, n), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npr, s_count, n), lambda q, r, b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npr, s_count, n), lambda q, r, b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_count, n), lambda q, r, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (npr, r_dim, n, g_tile), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
+                (1, r_tile, n, g_tile), lambda q, r, b: (q, r, 0, b), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (npr, r_dim, n, g_tile), lambda b: (0, 0, 0, b), memory_space=pltpu.VMEM
+            (1, r_tile, n, g_tile), lambda q, r, b: (q, r, 0, b), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
+    ))(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
 
 
 def fwd_ntt_pallas(x, plan: NttPlan, g_tile: int = 128, interpret: bool = False):
@@ -292,7 +324,7 @@ def _nat_call(plan: NttPlan, x, r_tile: int, interpret: bool, forward: bool):
             )
             o_ref[:, q * n : (q + 1) * n] = out
 
-    return pl.pallas_call(
+    return x32_trace(pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(r_all // r_tile,),
@@ -306,7 +338,7 @@ def _nat_call(plan: NttPlan, x, r_tile: int, interpret: bool, forward: bool):
             (r_tile, npr * n), lambda b: (b, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
+    ))(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
 
 
 def _nat_transform(a, plan: NttPlan, forward: bool, r_tile: int, interpret: bool):
