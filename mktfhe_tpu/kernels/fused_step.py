@@ -175,6 +175,9 @@ def make_cggi_step_kernel(params, ctx: RingCtx, g_tile: int, interpret: bool):
             out_specs=pl.BlockSpec(
                 (2, n, g_tile), lambda b: (0, 0, b), memory_space=pltpu.VMEM
             ),
+            # the fully unrolled stage pipeline wants ~40M of stack at
+            # N=1024/Gt=64; v5e has 128M VMEM, so raise the scoped limit
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         ))(*tabs, acc, brk, brk_sh, mono, mono_sh)
 

@@ -31,11 +31,18 @@ NLIMB = 4  # 8-bit limbs per uint32 key-switch coefficient
 
 
 def mod_switch_2n(ct: Lwe, big_n: int):
-    """Scale a T-bit LWE ciphertext to modulus 2N (bootstrapping.jl:8-9)."""
+    """Scale a T-bit LWE ciphertext to modulus 2N (bootstrapping.jl:8-9).
+
+    Round-to-nearest can land exactly on 2N; reduce mod 2N so consumers
+    indexing the 2N-entry monomial table stay in range (the roll-based
+    engines are unaffected: X^2N = 1, and 2N is a power of two so the
+    reduction is a mask).
+    """
     t = bits_of(ct.b.dtype)
     log_n = big_n.bit_length() - 1
     shift = t - log_n - 1
-    return divbits(ct.b, shift), divbits(ct.a, shift)
+    mask = ct.b.dtype.type(2 * big_n - 1)
+    return divbits(ct.b, shift) & mask, divbits(ct.a, shift) & mask
 
 
 def initial_acc(tildeb, big_n: int, k: int, ring_dtype):

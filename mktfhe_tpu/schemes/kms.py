@@ -181,6 +181,19 @@ def setup(crs_polys, party_keys: list[KmsPartyKey], params: AnyKmsParams) -> Kms
     )
 
 
+def drop_brk(scheme: KmsScheme) -> KmsScheme:
+    """Free the phase-1 key material from an aggregated scheme.
+
+    The batch-minor engine (bootstrap_bm) carries its own brk copy in the
+    extended prime basis (kernels/batchminor.py:BmKmsPhase1) and phase 2
+    never touches scheme.brk_*; dropping them halves resident HBM at k=8
+    (the difference between fitting on one v5e chip and OOM)."""
+    import dataclasses
+
+    z = jnp.zeros((0,), dtype=jnp.uint32)
+    return dataclasses.replace(scheme, brk_hat=z, brk_shoup=z)
+
+
 def _decomp_hat(x, l, log_b, ctx):
     d = jnp.moveaxis(balanced_decomp(x, l, log_b), -1, -2)
     return fwd_ntt(lift_signed_small(d, ctx.crt), ctx.plan)

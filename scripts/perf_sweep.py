@@ -107,6 +107,7 @@ def run_config(name: str, batch: int, reps: int = 8):
         if name.startswith("kms") and name.endswith("-bm"):
             from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
 
+            scheme = mod.drop_brk(scheme)  # phase 2 never reads brk; free first
             bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
             jax.block_until_ready(bm_keys.brk_bm)
             boot = lambda ct: mod.bootstrap_bm(ct, scheme, bm_keys, params)
