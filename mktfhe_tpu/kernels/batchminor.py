@@ -191,20 +191,31 @@ def build_bm_kms_phase1(party_keys, params) -> BmKmsPhase1:
         params.ring_torus_bits, params.big_n, [(half_b, params.l_gsw * 2 * 2)]
     )
     ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
-    brk = jnp.stack([pk.brk for pk in party_keys])  # [k, n, 2, l, 2, N] u64
-    hat = fwd_ntt(lift(brk, ctx.crt), ctx.plan)  # [k, n, 2, l, 2, npr', N]
-    sh = shoup_pair(hat, ctx.plan)
 
     def relay(b):
-        k, n_bits, cin, l, cout, nq, nn = b.shape
-        return jnp.transpose(b, (0, 1, 5, 2, 3, 4, 6)).reshape(
-            k, n_bits, nq, cin * l, cout, nn
+        n_bits, cin, l, cout, nq, nn = b.shape
+        return jnp.transpose(b, (0, 4, 1, 2, 3, 5)).reshape(
+            n_bits, nq, cin * l, cout, nn
         )
+
+    @jax.jit
+    def one_party(brk_p):  # [n, 2, l, 2, N] u64
+        hat = fwd_ntt(lift(brk_p, ctx.crt), ctx.plan)
+        return relay(hat), relay(shoup_pair(hat, ctx.plan))
+
+    # per-party conversion keeps the peak HBM at one party's intermediates
+    # (the k-stacked lift+NTT would spike several GB at k=8)
+    hats, shs = [], []
+    for pk in party_keys:
+        h, s = one_party(pk.brk)
+        jax.block_until_ready(h)
+        hats.append(h)
+        shs.append(s)
 
     mono_hat, mono_shoup = monomial_table(ctx)
     return BmKmsPhase1(
-        brk_bm=relay(hat),
-        brk_bm_shoup=relay(sh),
+        brk_bm=jnp.stack(hats),
+        brk_bm_shoup=jnp.stack(shs),
         mono_hat=mono_hat,
         mono_shoup=mono_shoup,
     )

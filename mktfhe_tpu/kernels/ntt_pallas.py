@@ -349,6 +349,8 @@ def _nat_transform(a, plan: NttPlan, forward: bool, r_tile: int, interpret: bool
 
     r_all = math.prod(lead) if lead else 1
     x = a.reshape(r_all, npr * n)
+    # shrink the row tile for small batches (pad to sublanes, not to 256)
+    r_tile = min(r_tile, ((r_all + 7) // 8) * 8)
     pad = (-r_all) % r_tile
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, npr * n), x.dtype)], axis=0)

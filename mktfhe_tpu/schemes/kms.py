@@ -151,9 +151,13 @@ def _monomial_table(ctx: RingCtx):
     return monomial_table(ctx)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def setup(crs_polys, party_keys: list[KmsPartyKey], params: AnyKmsParams) -> KmsScheme:
-    """Aggregate party keys (scheme.jl:292-299, :343-350)."""
+@functools.partial(jax.jit, static_argnames=("params", "with_brk"))
+def setup(crs_polys, party_keys: list[KmsPartyKey], params: AnyKmsParams, with_brk: bool = True) -> KmsScheme:
+    """Aggregate party keys (scheme.jl:292-299, :343-350).
+
+    with_brk=False skips the phase-1 key transform entirely -- for the
+    batch-minor engine, which carries its own brk copy (see drop_brk);
+    at k=8 this avoids ~3.3 GB of HBM that would be dropped anyway."""
     ctx = _ctx(params)
 
     def hat(x):
@@ -162,7 +166,10 @@ def setup(crs_polys, party_keys: list[KmsPartyKey], params: AnyKmsParams) -> Kms
 
     crs_hat, crs_shoup = hat(crs_polys)
     pub_hat, pub_shoup = hat(jnp.stack([pk.pub_b for pk in party_keys]))
-    brk_hat, brk_shoup = hat(jnp.stack([pk.brk for pk in party_keys]))
+    if with_brk:
+        brk_hat, brk_shoup = hat(jnp.stack([pk.brk for pk in party_keys]))
+    else:
+        brk_hat = brk_shoup = jnp.zeros((0,), dtype=jnp.uint32)
     rd_hat, rd_shoup = hat(jnp.stack([pk.rlk_d for pk in party_keys]))
     rf_hat, rf_shoup = hat(jnp.stack([pk.rlk_f for pk in party_keys]))
     if isinstance(params, KmsBlockParams):
@@ -194,9 +201,22 @@ def drop_brk(scheme: KmsScheme) -> KmsScheme:
     return dataclasses.replace(scheme, brk_hat=z, brk_shoup=z)
 
 
-def _decomp_hat(x, l, log_b, ctx):
+def _ntt_fns(pallas_ntt: bool, interpret: bool = False):
+    """Forward/inverse transform pair: jnp (HBM-staged) or the Pallas
+    natural-layout kernels (fused VMEM stages, bit-identical)."""
+    if pallas_ntt:
+        from ..kernels.ntt_pallas import fwd_ntt_nat, inv_ntt_nat
+
+        return (
+            functools.partial(fwd_ntt_nat, interpret=interpret),
+            functools.partial(inv_ntt_nat, interpret=interpret),
+        )
+    return fwd_ntt, inv_ntt
+
+
+def _decomp_hat(x, l, log_b, ctx, fwd=fwd_ntt):
     d = jnp.moveaxis(balanced_decomp(x, l, log_b), -1, -2)
-    return fwd_ntt(lift_signed_small(d, ctx.crt), ctx.plan)
+    return fwd(lift_signed_small(d, ctx.crt), ctx.plan)
 
 
 def _phase1_init(iter_rows: int, params: AnyKmsParams, ctx: RingCtx, g: int):
@@ -207,30 +227,32 @@ def _phase1_init(iter_rows: int, params: AnyKmsParams, ctx: RingCtx, g: int):
     return acc.at[:, :, 0, 0].set(gvec[None, :])
 
 
-def phase1(tildea_p, brk_hat_p, brk_shoup_p, iter_rows: int, params, ctx: RingCtx):
+def phase1(tildea_p, brk_hat_p, brk_shoup_p, iter_rows: int, params, ctx: RingCtx, pallas_ntt: bool = False, interpret: bool = False):
     """Single-key blind rotation over an RLEV accumulator
     (bootstrapping.jl:389-443).  tildea_p: [G, n]; returns the party's "lev
     key" in the NTT domain: [G, iter_rows, 2, npr, N]."""
+    fwd, inv = _ntt_fns(pallas_ntt, interpret)
     g = tildea_p.shape[0]
     acc = _phase1_init(iter_rows, params, ctx, g)
 
     def step(acc, xs):
         brk_h, brk_s, ta = xs
-        dhat = _decomp_hat(acc, params.l_gsw, params.log_b_gsw, ctx)
+        dhat = _decomp_hat(acc, params.l_gsw, params.log_b_gsw, ctx, fwd)
         # [G, rows, 2, l, npr, N] x [2, l, 2, npr, N] -> [G, rows, 2, npr, N]
         ehat = external_product_hat(dhat, brk_h, brk_s, ctx)
-        e = from_crt(inv_ntt(ehat, ctx.plan), ctx.crt, ctx.dtype)
+        e = from_crt(inv(ehat, ctx.plan), ctx.crt, ctx.dtype)
         rolled = jax.vmap(negacyclic_roll)(e, ta.astype(jnp.int32))
         return acc + rolled - e, None
 
     acc, _ = jax.lax.scan(step, acc, (brk_hat_p, brk_shoup_p, tildea_p.T))
-    return fwd_ntt(lift(acc, ctx.crt), ctx.plan)
+    return fwd(lift(acc, ctx.crt), ctx.plan)
 
 
-def phase1_block(tildea_p, brk_hat_p, brk_shoup_p, iter_rows: int, scheme, params, ctx: RingCtx):
+def phase1_block(tildea_p, brk_hat_p, brk_shoup_p, iter_rows: int, scheme, params, ctx: RingCtx, pallas_ntt: bool = False, interpret: bool = False):
     """Block-binary phase 1 (bootstrapping.jl:599-659): one decomposition
     per block, ell monomial-weighted external products accumulated in the
     evaluation domain."""
+    fwd, inv = _ntt_fns(pallas_ntt, interpret)
     g = tildea_p.shape[0]
     ell, d = params.ell, params.d
     acc = _phase1_init(iter_rows, params, ctx, g)
@@ -241,7 +263,7 @@ def phase1_block(tildea_p, brk_hat_p, brk_shoup_p, iter_rows: int, scheme, param
 
     def step(acc, xs):
         bh, bs, ta = xs
-        dhat = _decomp_hat(acc, params.l_gsw, params.log_b_gsw, ctx)
+        dhat = _decomp_hat(acc, params.l_gsw, params.log_b_gsw, ctx, fwd)
 
         def member(carry, mxs):
             b_h, b_s, t = mxs
@@ -252,19 +274,20 @@ def phase1_block(tildea_p, brk_hat_p, brk_shoup_p, iter_rows: int, scheme, param
 
         zero = jnp.zeros((g, acc.shape[1], 2, ctx.nprimes, ctx.n), dtype=jnp.uint32)
         tacc2, _ = jax.lax.scan(member, zero, (bh, bs, ta))
-        e = from_crt(inv_ntt(tacc2, ctx.plan), ctx.crt, ctx.dtype)
+        e = from_crt(inv(tacc2, ctx.plan), ctx.crt, ctx.dtype)
         return acc + e, None
 
     acc, _ = jax.lax.scan(step, acc, (brk_h, brk_s, ta_blocks))
-    return fwd_ntt(lift(acc, ctx.crt), ctx.plan)
+    return fwd(lift(acc, ctx.crt), ctx.plan)
 
 
-def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx):
+def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx, pallas_ntt: bool = False, interpret: bool = False):
     """One merge step of phase 2 (bootstrapping.jl:468-557).
 
     acc: [G, k+1, N] uint64 (components > p1 are zero); levkey:
     [G, iter, 2, npr, N].  Returns the new acc with component p1 filled.
     """
+    fwd, inv = _ntt_fns(pallas_ntt, interpret)
     p = ctx.plan.primes[:, None]
     crt = ctx.crt
     iter_rows = levkey.shape[1]
@@ -272,7 +295,7 @@ def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx)
     # LEV contraction of acc's components 0..p1-1 against the lev key
     # (bootstrapping.jl:470-499).  Only the first iter_rows digits engage.
     sl = acc[:, :p1]  # [G, p1, N]
-    dhat = _decomp_hat(sl, params.l_lev, params.log_b_lev, ctx)[:, :, :iter_rows]
+    dhat = _decomp_hat(sl, params.l_lev, params.log_b_lev, ctx, fwd)[:, :, :iter_rows]
 
     def lev_contract(lk_part):  # lk_part: [G, iter, npr, N]
         prods = mulmod_runtime(
@@ -286,10 +309,10 @@ def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx)
 
     x = lev_contract(levkey[:, :, 0])
     y = lev_contract(levkey[:, :, 1])
-    y_t = from_crt(inv_ntt(y, ctx.plan), crt, ctx.dtype)  # [G, p1, N]
+    y_t = from_crt(inv(y, ctx.plan), crt, ctx.dtype)  # [G, p1, N]
 
     # hybrid product of y with this party's rlk (bootstrapping.jl:506-553)
-    yhat = _decomp_hat(y_t, params.l_uni, params.log_b_uni, ctx)  # [G,p1,l,npr,N]
+    yhat = _decomp_hat(y_t, params.l_uni, params.log_b_uni, ctx, fwd)  # [G,p1,l,npr,N]
     rd = scheme.rlk_d_hat[p1 - 1][None, None]
     rd_s = scheme.rlk_d_shoup[p1 - 1][None, None]
     u = modsum(shoup_mul(rd, rd_s, yhat, p), -3, p)  # [G, p1, npr, N]
@@ -309,9 +332,9 @@ def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx)
         v = addmod(v0, modsum(vi, -3, p), p)
     else:
         v = v0
-    v_t = from_crt(inv_ntt(v, ctx.plan), crt, ctx.dtype)  # [G, N]
+    v_t = from_crt(inv(v, ctx.plan), crt, ctx.dtype)  # [G, N]
 
-    vhat = _decomp_hat(v_t, params.l_uni, params.log_b_uni, ctx)  # [G, l, npr, N]
+    vhat = _decomp_hat(v_t, params.l_uni, params.log_b_uni, ctx, fwd)  # [G, l, npr, N]
     rf = scheme.rlk_f_hat[p1 - 1]
     rf_s = scheme.rlk_f_shoup[p1 - 1]
     w_b = modsum(shoup_mul(rf[None, :, 0], rf_s[None, :, 0], vhat, p), -3, p)
@@ -321,13 +344,13 @@ def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx)
     tx = addmod(x, u, p)
     tx = tx.at[:, 0].set(addmod(tx[:, 0], w_b, p))
     tx = jnp.concatenate([tx, w_a[:, None]], axis=1)  # [G, p1+1, npr, N]
-    new = from_crt(inv_ntt(tx, ctx.plan), crt, ctx.dtype)
+    new = from_crt(inv(tx, ctx.plan), crt, ctx.dtype)
     g = acc.shape[0]
     pad = jnp.zeros((g, acc.shape[1] - p1 - 1, ctx.n), dtype=ctx.dtype)
     return jnp.concatenate([new, pad], axis=1)
 
 
-def blind_rotate(tildea, tildeb, scheme: KmsScheme, params: AnyKmsParams, ctx: RingCtx):
+def blind_rotate(tildea, tildeb, scheme: KmsScheme, params: AnyKmsParams, ctx: RingCtx, pallas_ntt: bool = False, interpret: bool = False):
     """Two-phase multi-key blind rotation (bootstrapping.jl:369-384).
 
     tildea: [G, k*n]; tildeb: [G].  Returns acc [G, k+1, N] uint64.
@@ -348,9 +371,9 @@ def blind_rotate(tildea, tildeb, scheme: KmsScheme, params: AnyKmsParams, ctx: R
     def p1_fn(ta_p, brk_h, brk_s):
         if is_block:
             return phase1_block(
-                ta_p, brk_h, brk_s, params.l_lev, scheme, params, ctx
+                ta_p, brk_h, brk_s, params.l_lev, scheme, params, ctx, pallas_ntt, interpret
             )
-        return phase1(ta_p, brk_h, brk_s, params.l_lev, params, ctx)
+        return phase1(ta_p, brk_h, brk_s, params.l_lev, params, ctx, pallas_ntt, interpret)
 
     tild_pm = jnp.moveaxis(tild, 1, 0)  # [k, G, n]
     levkeys = jax.vmap(p1_fn)(tild_pm, scheme.brk_hat, scheme.brk_shoup)
@@ -359,7 +382,7 @@ def blind_rotate(tildea, tildeb, scheme: KmsScheme, params: AnyKmsParams, ctx: R
     for p1 in range(1, k + 1):
         iter_rows = 1 if p1 == 1 else params.l_lev
         acc = _phase2_party(
-            acc, levkeys[p1 - 1][:, :iter_rows], p1, scheme, params, ctx
+            acc, levkeys[p1 - 1][:, :iter_rows], p1, scheme, params, ctx, pallas_ntt, interpret
         )
     return acc
 
@@ -398,20 +421,21 @@ def _keyswitch(acc, scheme: KmsScheme, params: AnyKmsParams) -> Lwe:
     return Lwe(b=b, a=a)
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def bootstrap(ct: Lwe, scheme: KmsScheme, params: AnyKmsParams) -> Lwe:
+@functools.partial(jax.jit, static_argnames=("params", "pallas_ntt", "interpret"))
+def bootstrap(ct: Lwe, scheme: KmsScheme, params: AnyKmsParams, pallas_ntt: bool = False, interpret: bool = False) -> Lwe:
     """Multi-key gate bootstrap (bootstrapping.jl:4-27, KMS dispatch).
 
-    ct: Lwe on the 2^32 torus with b [G], a [G, k*n].
+    ct: Lwe on the 2^32 torus with b [G], a [G, k*n].  pallas_ntt routes
+    every NTT through the fused-VMEM Pallas kernels (bit-identical).
     """
     ctx = _ctx(params)
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
-    acc = blind_rotate(tildea, tildeb, scheme, params, ctx)
+    acc = blind_rotate(tildea, tildeb, scheme, params, ctx, pallas_ntt, interpret)
     return _keyswitch(acc, scheme, params)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
-def bootstrap_bm(ct: Lwe, scheme: KmsScheme, phase1_keys, params: AnyKmsParams, interpret: bool = False) -> Lwe:
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "pallas_ntt"))
+def bootstrap_bm(ct: Lwe, scheme: KmsScheme, phase1_keys, params: AnyKmsParams, interpret: bool = False, pallas_ntt: bool = False) -> Lwe:
     """KMS bootstrap with the batch-minor Pallas phase-1 engine.
 
     phase1_keys: kernels.batchminor.BmKmsPhase1 (from build_bm_kms_phase1).
@@ -439,6 +463,7 @@ def bootstrap_bm(ct: Lwe, scheme: KmsScheme, phase1_keys, params: AnyKmsParams, 
     for p1 in range(1, k + 1):
         iter_rows = 1 if p1 == 1 else params.l_lev
         acc = _phase2_party(
-            acc, levkeys[p1 - 1][:, :iter_rows], p1, scheme, params, ctx
+            acc, levkeys[p1 - 1][:, :iter_rows], p1, scheme, params, ctx,
+            pallas_ntt=pallas_ntt, interpret=interpret,
         )
     return _keyswitch(acc, scheme, params)

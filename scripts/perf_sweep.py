@@ -92,13 +92,13 @@ def run_config(name: str, batch: int, reps: int = 8):
             scheme = mod.setup(crs_v, [p[2] for p in parties], params)
         else:
             bm = name.endswith("-bm")
-            kstr = name[3:].replace("-bm", "")
+            kstr = name[3:].replace("-bm", "").replace("-pl", "")
             k = int(kstr)
             params = ALL_PRESETS[f"KMS{k}party"]
             mod = kms
             crs_v = mod.crs(jax.random.key(0), params)
             parties = [mod.party_keygen(jax.random.key(1 + i), crs_v, params) for i in range(k)]
-            scheme = mod.setup(crs_v, [p[3] for p in parties], params)
+            scheme = mod.setup(crs_v, [p[3] for p in parties], params, with_brk=not bm)
         lwe_keys = [p[0] for p in parties]
         jax.block_until_ready(jax.tree_util.tree_leaves(scheme)[0])
         keygen_s = time.time() - t0
@@ -107,10 +107,11 @@ def run_config(name: str, batch: int, reps: int = 8):
         if name.startswith("kms") and name.endswith("-bm"):
             from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
 
-            scheme = mod.drop_brk(scheme)  # phase 2 never reads brk; free first
             bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
             jax.block_until_ready(bm_keys.brk_bm)
-            boot = lambda ct: mod.bootstrap_bm(ct, scheme, bm_keys, params)
+            boot = lambda ct: mod.bootstrap_bm(ct, scheme, bm_keys, params, pallas_ntt=True)
+        elif name.startswith("kms") and name.endswith("-pl"):
+            boot = lambda ct: mod.bootstrap(ct, scheme, params, pallas_ntt=True)
         else:
             boot = lambda ct: mod.bootstrap(ct, scheme, params)
         decrypt = lambda o: lwe_decrypt_bit_mk(o, lwe_keys)

@@ -85,3 +85,30 @@ def test_kms_k4_phase2_depth():
     got = np.asarray(lwe_decrypt_bit_mk(out, lwe_keys))
     want = np.array([not (x or y) for x, y in zip(ms[0], ms[1])])
     np.testing.assert_array_equal(got, want)
+
+
+def test_kms_pallas_ntt_bit_identical():
+    """bootstrap(pallas_ntt=True) routes every NTT through the natural-layout
+    Pallas kernels; outputs must be bit-identical to the jnp path."""
+    params = TINY
+    a = kms.crs(jax.random.key(300), params)
+    parties = [
+        kms.party_keygen(jax.random.key(400 + i), a, params) for i in range(params.k)
+    ]
+    lwe_keys = [p[0] for p in parties]
+    scheme = kms.setup(a, [p[3] for p in parties], params)
+    rng = np.random.default_rng(13)
+    g = 4
+    m1 = rng.integers(0, 2, size=g).astype(bool)
+    m2 = rng.integers(0, 2, size=g).astype(bool)
+    ct1 = lwe_ith_encrypt_bit(
+        jax.random.key(1), jnp.array(m1), 0, lwe_keys[0], params.alpha, params.k, (g,)
+    )
+    ct2 = lwe_ith_encrypt_bit(
+        jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, params.k, (g,)
+    )
+    ct = gate_affine(0, ct1, ct2)
+    ref = kms.bootstrap(ct, scheme, params)
+    got = kms.bootstrap(ct, scheme, params, pallas_ntt=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
