@@ -31,12 +31,14 @@ jax.config.update("jax_enable_x64", True)
 def _time_bootstraps(boot, chain_step, first_ct, reps=10):
     """Time a dependent chain: ct -> boot -> chain_step -> boot -> ..."""
     out = boot(first_ct)
-    jax.block_until_ready(out)  # compile + warm
+    np.asarray(out.b)  # compile + warm; hard fetch
     t0 = time.time()
     cur = out
     for _ in range(reps):
         cur = boot(chain_step(cur))
-    jax.block_until_ready(cur)
+    # hard device->host value read: block_until_ready alone has been seen
+    # to return before execution finishes on this tunnel runtime
+    np.asarray(cur.b)
     return (time.time() - t0) / reps, out
 
 

@@ -183,11 +183,13 @@ def _inv_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int, ninv, ni
 
 def _pick_r_tile(r_dim: int, n: int, g_tile: int, budget_bytes: int = 2 << 20):
     """Largest divisor of r_dim whose [r_tile, N, Gt] u32 block stays under
-    the budget (Mosaic's 16M scoped-vmem limit must also hold the unrolled
-    stage temporaries, ~6x the live block)."""
+    the budget (the scoped-vmem stack must also hold the unrolled stage
+    temporaries, ~6x the live block).  Lanes are padded to a full vreg
+    width, so a small G still costs 128 lanes per temporary."""
+    eff_g = ((g_tile + 127) // 128) * 128
     best = 1
     for r_tile in range(1, r_dim + 1):
-        if r_dim % r_tile == 0 and r_tile * n * g_tile * 4 <= budget_bytes:
+        if r_dim % r_tile == 0 and r_tile * n * eff_g * 4 <= budget_bytes:
             best = r_tile
     return best
 
@@ -239,6 +241,7 @@ def _make_call(plan: NttPlan, x, g_tile: int, interpret: bool, forward: bool):
         out_specs=pl.BlockSpec(
             (1, r_tile, n, g_tile), lambda q, r, b: (q, r, 0, b), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     ))(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
 
@@ -337,6 +340,7 @@ def _nat_call(plan: NttPlan, x, r_tile: int, interpret: bool, forward: bool):
         out_specs=pl.BlockSpec(
             (r_tile, npr * n), lambda b: (b, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     ))(jnp.asarray(tw), jnp.asarray(tw_s), jnp.asarray(msk), x)
 

@@ -20,12 +20,15 @@ jax.config.update("jax_enable_x64", True)
 
 def chain_time(boot, chain_step, first_ct, reps):
     out = boot(first_ct)
-    jax.block_until_ready(out)
+    np.asarray(out.b)
     t0 = time.time()
     cur = out
     for _ in range(reps):
         cur = boot(chain_step(cur))
-    jax.block_until_ready(cur)
+    # hard device->host fetch: on this machine's TPU tunnel
+    # block_until_ready can return before execution finishes, so only a
+    # value read is a trustworthy fence.
+    np.asarray(cur.b)
     return (time.time() - t0) / reps, out
 
 
