@@ -68,6 +68,14 @@ def _shoup(w, w_sh, a, p):
     return jnp.where(r >= p, r - p, r)
 
 
+def _shoup_lazy(w, w_sh, a, p):
+    """Shoup multiply without the final correction: result in [0, 2p).
+
+    Exact mod p for any a < 2^32 (the quotient estimate is off by at most
+    one).  Feeding lazy (< 4p) values is fine."""
+    return w * a - _mulhi(w_sh, a) * p
+
+
 @functools.lru_cache(maxsize=None)
 def stage_tables(n: int, nprimes: int):
     """Per-stage full-length tables for the roll+select butterflies.
@@ -145,7 +153,14 @@ def _fwd_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int):
 
     tw_ref/tw_sh_ref: refs (or arrays) indexable as [q, s] -> [N];
     msk_ref as [s] -> [N].
+
+    Harvey-style lazy butterflies: the in-flight invariant is < 4p
+    (primes are < 2^30 so 4p fits uint32); only the u-half is reduced to
+    < 2p per stage, the Shoup multiply skips its correction (valid for any
+    operand < 2^32), and a two-step canonical reduction runs once at exit.
+    Output bit-identical to the eager form, ~30% fewer vector ops.
     """
+    two_p = p + p
     for s, t in enumerate(shifts):
         tw = tw_ref[q, s][:, None]
         tw_sh = tw_sh_ref[q, s][:, None]
@@ -154,16 +169,17 @@ def _fwd_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int):
         partner = jnp.where(is_v, _roll_n(a, t, n), _roll_n(a, -t, n))
         u = jnp.where(is_v, partner, a)
         v = jnp.where(is_v, a, partner)
-        vw = _shoup(tw, tw_sh, v, p)
-        hi = u + vw
-        hi = jnp.where(hi >= p, hi - p, hi)
-        lo = u + (p - vw)
-        lo = jnp.where(lo >= p, lo - p, lo)
-        a = jnp.where(is_v, lo, hi)
-    return a
+        u = jnp.where(u >= two_p, u - two_p, u)  # < 2p
+        vw = _shoup_lazy(tw, tw_sh, v, p)  # < 2p
+        a = u + jnp.where(is_v, two_p - vw, vw)  # hi/lo, both < 4p
+    a = jnp.where(a >= two_p, a - two_p, a)
+    return jnp.where(a >= p, a - p, a)
 
 
 def _inv_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int, ninv, ninv_sh):
+    """Gentleman-Sande inverse, lazy form (see _fwd_body): in-flight
+    invariant < 2p, canonical output via the final 1/N Shoup multiply."""
+    two_p = p + p
     for s, t in enumerate(shifts):
         tw = tw_ref[q, s][:, None]
         tw_sh = tw_sh_ref[q, s][:, None]
@@ -172,13 +188,13 @@ def _inv_body(a, tw_ref, tw_sh_ref, msk_ref, shifts, q: int, p, n: int, ninv, ni
         partner = jnp.where(is_v, _roll_n(a, t, n), _roll_n(a, -t, n))
         u = jnp.where(is_v, partner, a)
         v = jnp.where(is_v, a, partner)
-        hi = u + v
-        hi = jnp.where(hi >= p, hi - p, hi)
-        d = u + (p - v)
-        d = jnp.where(d >= p, d - p, d)
-        lo = _shoup(tw, tw_sh, d, p)
+        hi = u + v  # < 4p
+        hi = jnp.where(hi >= two_p, hi - two_p, hi)  # < 2p
+        d = u + (two_p - v)  # < 4p; the lazy Shoup absorbs it
+        lo = _shoup_lazy(tw, tw_sh, d, p)  # < 2p
         a = jnp.where(is_v, lo, hi)
-    return _shoup(ninv, ninv_sh, a, p)
+    a = _shoup_lazy(ninv, ninv_sh, a, p)  # < 2p
+    return jnp.where(a >= p, a - p, a)
 
 
 def _pick_r_tile(r_dim: int, n: int, g_tile: int, budget_bytes: int = 2 << 20):

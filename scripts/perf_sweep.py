@@ -94,8 +94,8 @@ def run_config(name: str, batch: int, reps: int = 8):
             parties = [mod.party_keygen(jax.random.key(1 + i), crs_v, params) for i in range(k)]
             scheme = mod.setup(crs_v, [p[2] for p in parties], params)
         else:
-            bm = name.endswith("-bm")
-            kstr = name[3:].replace("-bm", "").replace("-pl", "")
+            bm = name.endswith("-bm") or name.endswith("-fk")
+            kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-fk", "")
             k = int(kstr)
             params = ALL_PRESETS[f"KMS{k}party"]
             mod = kms
@@ -113,6 +113,13 @@ def run_config(name: str, batch: int, reps: int = 8):
             bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
             jax.block_until_ready(bm_keys.brk_bm)
             boot = lambda ct: mod.bootstrap_bm(ct, scheme, bm_keys, params, pallas_ntt=True)
+        elif name.startswith("kms") and name.endswith("-fk"):
+            from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
+            from mktfhe_tpu.kernels.fused_kms import bootstrap_fused_kms
+
+            bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
+            jax.block_until_ready(bm_keys.brk_bm)
+            boot = lambda ct: bootstrap_fused_kms(ct, scheme, bm_keys, params, pallas_ntt=True)
         elif name.startswith("kms") and name.endswith("-pl"):
             boot = lambda ct: mod.bootstrap(ct, scheme, params, pallas_ntt=True)
         else:
