@@ -62,16 +62,17 @@ def rgsw_to_hat(stack, ctx: RingCtx):
     return hat, shoup_pair(hat, ctx.plan)
 
 
-def rlwe_decomp_hat(ct, l: int, log_b: int, ctx: RingCtx):
+def rlwe_decomp_hat(ct, l: int, log_b: int, ctx: RingCtx, fwd=fwd_ntt):
     """Gadget-decompose an RLWE ct [..., k+1, N] and NTT the digits.
 
     Returns [..., k+1, l, nprimes, N] residues -- the `decompto!` +
     `fftto!` prologue of every blind-rotation step
-    (bootstrapping.jl:50-59).
+    (bootstrapping.jl:50-59).  `fwd` may be swapped for the Pallas
+    natural-layout transform (bit-identical).
     """
     digits = balanced_decomp(ct, l, log_b)  # [..., k+1, N, l]
     digits = jnp.moveaxis(digits, -1, -2)  # [..., k+1, l, N]
-    return fwd_ntt(lift_signed_small(digits, ctx.crt), ctx.plan)
+    return fwd(lift_signed_small(digits, ctx.crt), ctx.plan)
 
 
 def external_product_hat(dhat, hat, hat_shoup, ctx: RingCtx):

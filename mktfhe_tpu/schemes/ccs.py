@@ -129,22 +129,25 @@ def setup(crs_polys, party_keys: list[CcsPartyKey], params: CcsParams) -> CcsSch
     )
 
 
-def _decomp_hat(x, l, log_b, ctx):
+def _decomp_hat(x, l, log_b, ctx, fwd=fwd_ntt):
     """balanced decomp + NTT: [..., N] -> [..., l, npr, N]."""
     d = jnp.moveaxis(balanced_decomp(x, l, log_b), -1, -2)
-    return fwd_ntt(lift_signed_small(d, ctx.crt), ctx.plan)
+    return fwd(lift_signed_small(d, ctx.crt), ctx.plan)
 
 
-def _hybrid_rotate_party(acc, tildea_p, p1, scheme: CcsScheme, params: CcsParams, ctx: RingCtx):
+def _hybrid_rotate_party(acc, tildea_p, p1, scheme: CcsScheme, params: CcsParams, ctx: RingCtx, pallas_ntt: bool = False, interpret: bool = False):
     """Party p1's (1-based) n-bit hybrid-product rotation
     (bootstrapping.jl:259-327).  Touches components 0..p1 of acc."""
     l, log_b = params.l_uni, params.log_b_uni
     p = ctx.plan.primes[:, None]
+    from .kms import _ntt_fns
+
+    fwd, inv = _ntt_fns(pallas_ntt, interpret)
 
     def step(acc, xs):
         d_h, d_s, f_h, f_s, ta = xs
         sl = acc[:, : p1 + 1]  # [G, p1+1, N]
-        dhat = _decomp_hat(sl, l, log_b, ctx)  # [G, p1+1, l, npr, N]
+        dhat = _decomp_hat(sl, l, log_b, ctx, fwd)  # [G, p1+1, l, npr, N]
 
         # u: every component contracted with this party's d-vector
         # (bootstrapping.jl:278-284)
@@ -166,10 +169,10 @@ def _hybrid_rotate_party(acc, tildea_p, p1, scheme: CcsScheme, params: CcsParams
         pub_s = scheme.pub_b_shoup[:p1][None]
         vi = modsum(shoup_mul(pub_h, pub_s, dhat[:, 1:], p), -3, p)
         v = jnp.concatenate([v0[:, None], vi], axis=1)  # [G, p1+1, npr, N]
-        v_t = from_crt(inv_ntt(v, ctx.plan), ctx.crt, ctx.dtype)
+        v_t = from_crt(inv(v, ctx.plan), ctx.crt, ctx.dtype)
 
         # w: relinearize v against f (bootstrapping.jl:305-320)
-        vhat = _decomp_hat(v_t, l, log_b, ctx)  # [G, p1+1, l, npr, N]
+        vhat = _decomp_hat(v_t, l, log_b, ctx, fwd)  # [G, p1+1, l, npr, N]
         vflat = vhat.reshape(vhat.shape[0], -1, *vhat.shape[-2:])
         fb = jnp.tile(f_h[:, 0], (p1 + 1, 1, 1))  # [(p1+1)*l, npr, N]
         fb_s = jnp.tile(f_s[:, 0], (p1 + 1, 1, 1))
@@ -181,7 +184,7 @@ def _hybrid_rotate_party(acc, tildea_p, p1, scheme: CcsScheme, params: CcsParams
         tacc = u.at[:, 0].set(addmod(u[:, 0], w_b, p))
         tacc = tacc.at[:, p1].set(addmod(tacc[:, p1], w_a, p))
 
-        e = from_crt(inv_ntt(tacc, ctx.plan), ctx.crt, ctx.dtype)
+        e = from_crt(inv(tacc, ctx.plan), ctx.crt, ctx.dtype)
         rolled = jax.vmap(negacyclic_roll)(e, ta.astype(jnp.int32))
         return acc.at[:, : p1 + 1].add(rolled - e), None
 
@@ -200,8 +203,8 @@ def _hybrid_rotate_party(acc, tildea_p, p1, scheme: CcsScheme, params: CcsParams
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def bootstrap(ct: Lwe, scheme: CcsScheme, params: CcsParams) -> Lwe:
+@functools.partial(jax.jit, static_argnames=("params", "pallas_ntt", "interpret"))
+def bootstrap(ct: Lwe, scheme: CcsScheme, params: CcsParams, pallas_ntt: bool = False, interpret: bool = False) -> Lwe:
     """Multi-key gate bootstrap (bootstrapping.jl:4-27 with CCS dispatch).
 
     ct: Lwe with b [G], a [G, k*n].
@@ -211,5 +214,7 @@ def bootstrap(ct: Lwe, scheme: CcsScheme, params: CcsParams) -> Lwe:
     acc = initial_acc(tildeb, params.big_n, params.k, ctx.dtype)
     tild = tildea.reshape(tildea.shape[0], params.k, params.n)
     for p1 in range(1, params.k + 1):
-        acc = _hybrid_rotate_party(acc, tild[:, p1 - 1], p1, scheme, params, ctx)
+        acc = _hybrid_rotate_party(
+            acc, tild[:, p1 - 1], p1, scheme, params, ctx, pallas_ntt, interpret
+        )
     return keyswitch_per_party(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)

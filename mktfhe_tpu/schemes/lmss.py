@@ -109,7 +109,7 @@ def setup(rng, params: BlockParams):
     )
 
 
-def blind_rotate(acc, tildea, scheme: LmssScheme, params: BlockParams, ctx: RingCtx):
+def blind_rotate(acc, tildea, scheme: LmssScheme, params: BlockParams, ctx: RingCtx, pallas_ntt: bool = False, interpret: bool = False):
     """d block steps, each with one decomposition and ell external products
     accumulated in the evaluation domain (bootstrapping.jl:129-164)."""
     ell = params.ell
@@ -118,10 +118,13 @@ def blind_rotate(acc, tildea, scheme: LmssScheme, params: BlockParams, ctx: Ring
     brk_shoup = scheme.brk_shoup.reshape(d, ell, *scheme.brk_shoup.shape[1:])
     ta_blocks = tildea.T.reshape(d, ell, -1)  # [d, ell, G]
     p = ctx.plan.primes[:, None]
+    from .kms import _ntt_fns
+
+    fwd, inv = _ntt_fns(pallas_ntt, interpret)
 
     def step(acc, xs):
         brk_h, brk_s, ta = xs  # [ell, ...], ta [ell, G]
-        dhat = rlwe_decomp_hat(acc, params.l_gsw, params.log_b_gsw, ctx)
+        dhat = rlwe_decomp_hat(acc, params.l_gsw, params.log_b_gsw, ctx, fwd)
         # per member: external product then monomial weight, summed mod p
         def member(carry, mxs):
             b_h, b_s, t = mxs
@@ -135,20 +138,20 @@ def blind_rotate(acc, tildea, scheme: LmssScheme, params: BlockParams, ctx: Ring
             (acc.shape[0], acc.shape[1], ctx.nprimes, ctx.n), dtype=jnp.uint32
         )
         tacc2, _ = jax.lax.scan(member, zero, (brk_h, brk_s, ta))
-        e = from_crt(inv_ntt(tacc2, ctx.plan), ctx.crt, ctx.dtype)
+        e = from_crt(inv(tacc2, ctx.plan), ctx.crt, ctx.dtype)
         return acc + e, None
 
     acc, _ = jax.lax.scan(step, acc, (brk_hat, brk_shoup, ta_blocks))
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def bootstrap(ct: Lwe, scheme: LmssScheme, params: BlockParams) -> Lwe:
+@functools.partial(jax.jit, static_argnames=("params", "pallas_ntt", "interpret"))
+def bootstrap(ct: Lwe, scheme: LmssScheme, params: BlockParams, pallas_ntt: bool = False, interpret: bool = False) -> Lwe:
     """Gate bootstrap (bootstrapping.jl:4-27 with LMSS dispatch)."""
     ctx = _ctx(params)
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
     acc = initial_acc(tildeb, params.big_n, params.k, ctx.dtype)
-    acc = blind_rotate(acc, tildea, scheme, params, ctx)
+    acc = blind_rotate(acc, tildea, scheme, params, ctx, pallas_ntt, interpret)
     return keyswitch_partial(
         acc, params.n, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d
     )

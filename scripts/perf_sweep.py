@@ -80,14 +80,17 @@ def run_config(name: str, batch: int, reps: int = 8):
         keygen_s = time.time() - t0
         ct2 = lwe_encrypt_bit(jax.random.key(2), jnp.array(m2), lwe_key, params.alpha, (batch,))
         c1 = lwe_encrypt_bit(jax.random.key(3), jnp.array(m1), lwe_key, params.alpha, (batch,))
-        boot = lambda ct: lmss.bootstrap(ct, scheme, params)
+        if name.endswith("-pl"):
+            boot = lambda ct: lmss.bootstrap(ct, scheme, params, pallas_ntt=True)
+        else:
+            boot = lambda ct: lmss.bootstrap(ct, scheme, params)
         decrypt = lambda o: lwe_decrypt_bit(o, lwe_key)
     else:
         from mktfhe_tpu.schemes import kms, ccs
         from mktfhe_tpu.schemes.presets import ALL_PRESETS
 
         if name.startswith("ccs"):
-            k = int(name[3:])
+            k = int(name[3:].replace("-pl", ""))
             params = ALL_PRESETS[f"CCS{k}party"]
             mod = ccs
             crs_v = mod.crs(jax.random.key(0), params)
@@ -120,7 +123,7 @@ def run_config(name: str, batch: int, reps: int = 8):
             bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
             jax.block_until_ready(bm_keys.brk_bm)
             boot = lambda ct: bootstrap_fused_kms(ct, scheme, bm_keys, params, pallas_ntt=True)
-        elif name.startswith("kms") and name.endswith("-pl"):
+        elif name.endswith("-pl"):
             boot = lambda ct: mod.bootstrap(ct, scheme, params, pallas_ntt=True)
         else:
             boot = lambda ct: mod.bootstrap(ct, scheme, params)

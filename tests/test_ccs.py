@@ -80,3 +80,22 @@ def test_mk_gates_k4():
         mres = np.array([not (x and y) for x, y in zip(mres, ms[i])])
     got = np.asarray(lwe_decrypt_bit_mk(res, lwe_keys))
     np.testing.assert_array_equal(got, mres)
+
+
+def test_ccs_pallas_ntt_bit_identical(tiny_mk):
+    lwe_keys, scheme = tiny_mk
+    rng = np.random.default_rng(9)
+    g = 4
+    m1 = rng.integers(0, 2, size=g).astype(bool)
+    m2 = rng.integers(0, 2, size=g).astype(bool)
+    ct1 = lwe_ith_encrypt_bit(
+        jax.random.key(1), jnp.array(m1), 0, lwe_keys[0], TINY.alpha, TINY.k, (g,)
+    )
+    ct2 = lwe_ith_encrypt_bit(
+        jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], TINY.alpha, TINY.k, (g,)
+    )
+    ct = gate_affine(0, ct1, ct2)
+    ref = ccs.bootstrap(ct, scheme, TINY)
+    got = ccs.bootstrap(ct, scheme, TINY, pallas_ntt=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))

@@ -41,3 +41,20 @@ def test_all_gates_batched(tiny_scheme):
     got = np.asarray(lwe_decrypt_bit(out, lwe_key))
     want = np.array([CLEAR_OPS[o](bool(a), bool(b)) for o, a, b in zip(ops, m1, m2)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_lmss_pallas_ntt_bit_identical(tiny_scheme):
+    import numpy as np
+
+    lwe_key, _rk, scheme = tiny_scheme
+    g = 4
+    rng = np.random.default_rng(3)
+    m1 = rng.integers(0, 2, g).astype(bool)
+    m2 = rng.integers(0, 2, g).astype(bool)
+    ct1 = lwe_encrypt_bit(jax.random.key(1), jnp.array(m1), lwe_key, TINY.alpha, (g,))
+    ct2 = lwe_encrypt_bit(jax.random.key(2), jnp.array(m2), lwe_key, TINY.alpha, (g,))
+    ct = gate_affine(0, ct1, ct2)
+    ref = lmss.bootstrap(ct, scheme, TINY)
+    got = lmss.bootstrap(ct, scheme, TINY, pallas_ntt=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
