@@ -59,8 +59,8 @@ def _health_check(timeout_s: int = 60):
 
 
 def main():
-    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "cggi"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "cggi-fused"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     _health_check()
 
     from mktfhe_tpu.schemes.gates import (
@@ -77,7 +77,7 @@ def main():
     want = ~(m1 & m2)  # NAND
 
     t0 = time.time()
-    if scheme_name in ("cggi", "cggi-bm"):
+    if scheme_name in ("cggi", "cggi-bm", "cggi-fused"):
         from mktfhe_tpu.schemes import cggi as mod
         from mktfhe_tpu.schemes.presets import CGGI_PARAM as params
 
@@ -93,6 +93,12 @@ def main():
 
             bm = convert_scheme(scheme, params)
             boot = lambda ct: bootstrap_bm(ct, bm, params)
+        elif scheme_name == "cggi-fused":
+            from mktfhe_tpu.kernels.batchminor import convert_scheme
+            from mktfhe_tpu.kernels.fused_step import bootstrap_fused
+
+            bm = convert_scheme(scheme, params)
+            boot = lambda ct: bootstrap_fused(ct, bm, params)
         else:
             boot = lambda ct: mod.bootstrap(ct, scheme, params)
         decrypt = lambda out: lwe_decrypt_bit(out, lwe_key)
@@ -108,8 +114,12 @@ def main():
             mod.party_keygen(jax.random.key(1 + i), a, params) for i in range(k)
         ]
         lwe_keys = [p[0] for p in parties]
-        scheme = mod.setup(a, [p[3] for p in parties], params)
-        jax.block_until_ready(scheme.brk_hat)
+        scheme = mod.setup(a, [p[3] for p in parties], params, with_brk=False)
+        from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
+        from mktfhe_tpu.kernels.fused_kms import bootstrap_fused_kms
+
+        bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
+        jax.block_until_ready(bm_keys.brk_bm)
         keygen_s = time.time() - t0
         ct2 = lwe_ith_encrypt_bit(
             jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, k, (batch,)
@@ -119,7 +129,7 @@ def main():
         )
         first_ct = gate_affine(0, c1, ct2)
         chain_step = lambda prev: gate_affine(0, prev, ct2)
-        boot = lambda ct: mod.bootstrap(ct, scheme, params)
+        boot = lambda ct: bootstrap_fused_kms(ct, scheme, bm_keys, params, pallas_ntt=True)
         decrypt = lambda out: lwe_decrypt_bit_mk(out, lwe_keys)
         metric = f"kms{k}_gate_bootstraps_per_sec_per_chip"
     else:

@@ -315,10 +315,14 @@ def bootstrap_fused_kms(ct, scheme, phase1_keys, params, interpret: bool = False
     g = tildea.shape[0]
     tild = jnp.moveaxis(tildea.reshape(g, k, params.n), 1, 0)  # [k, G, n]
 
+    # party 1 needs a single RLEV row (its rotation hits the test vector
+    # directly in phase 2 -- the reference's iter=1 special case at
+    # bootstrapping.jl:400); the rest carry l_lev rows.
     levkeys = [
         kms_phase1_fused(
             tild[i], phase1_keys.brk_bm[i], phase1_keys.brk_bm_shoup[i],
-            phase1_keys, params.l_lev, params, ctx, interpret=interpret,
+            phase1_keys, 1 if i == 0 else params.l_lev, params, ctx,
+            interpret=interpret,
         )
         for i in range(k)
     ]
