@@ -170,55 +170,62 @@ def make_kms_step_kernel(params, ctx: RingCtx, iter_rows: int, g_tile: int, inte
     ) = stage_tables(n, npr)
     s_count = len(shifts_fwd)
 
-    def kernel(tw_ref, twsh_ref, msk_ref, itw_ref, itwsh_ref, imsk_ref,
+    def kernel(sc_ref, tw_ref, twsh_ref, msk_ref, itw_ref, itwsh_ref, imsk_ref,
                acc_lo_ref, acc_hi_ref, brk_ref, brks_ref, mono_ref, monos_ref,
                out_ref):
+        # runtime prime index: tables index with q directly, so the program
+        # is compiled ONCE for all primes (vs an npr-fold pl.when unroll,
+        # which tripled Mosaic compile time)
         q = pl.program_id(0)
+        p = sc_ref[0, q]  # u32 scalar from SMEM
+        ninv = sc_ref[1, q]
+        ninv_sh = sc_ref[2, q]
+        pi32 = jax.lax.bitcast_convert_type(p, jnp.int32)
         # digits for this row's two components, [2][l] of [N, Gt] i32
         digs = [
             _decomp_pairs(acc_lo_ref[0, c], acc_hi_ref[0, c], l, log_b)
             for c in range(2)
         ]
-        for qs in range(npr):
+        # external product accumulators, one per output component
+        eh = [None, None]
+        # stream digit rows through the NTT two at a time
+        for j0 in range(0, cpl, 2):
+            rows = []
+            for j in (j0, j0 + 1):
+                d = digs[j // l][j % l]
+                rows.append(jnp.where(d < 0, d + pi32, d).astype(U32))
+            dr = jnp.stack(rows, axis=0)  # [2, N, Gt]
+            dhat = _fwd_body(dr, tw_ref, twsh_ref, msk_ref, shifts_fwd, q, p, n)
+            for cout in range(2):
+                for jj, j in enumerate((j0, j0 + 1)):
+                    w = brk_ref[0, j, cout][:, None]
+                    w_s = brks_ref[0, j, cout][:, None]
+                    prod = _shoup(w, w_s, dhat[jj], p)
+                    if eh[cout] is None:
+                        eh[cout] = prod
+                    else:
+                        s = eh[cout] + prod
+                        eh[cout] = jnp.where(s >= p, s - p, s)
+        ehs = jnp.stack(eh, axis=0)  # [2, N, Gt]
+        mono = mono_ref[0][None]
+        mono_s = monos_ref[0][None]
+        w = _shoup(mono, mono_s, ehs, p)
+        out_ref[0, 0] = _inv_body(
+            w, itw_ref, itwsh_ref, imsk_ref, shifts_inv, q, p, n, ninv, ninv_sh
+        )
 
-            @pl.when(q == qs)
-            def _():
-                p = U32(primes[qs])
-                pi32 = jnp.int32(primes[qs])
-                # external product accumulators, one per output component
-                eh = [None, None]
-                # stream digit rows through the NTT two at a time
-                for j0 in range(0, cpl, 2):
-                    rows = []
-                    for j in (j0, j0 + 1):
-                        d = digs[j // l][j % l]
-                        rows.append(jnp.where(d < 0, d + pi32, d).astype(U32))
-                    dr = jnp.stack(rows, axis=0)  # [2, N, Gt]
-                    dhat = _fwd_body(dr, tw_ref, twsh_ref, msk_ref, shifts_fwd, qs, p, n)
-                    for cout in range(2):
-                        for jj, j in enumerate((j0, j0 + 1)):
-                            w = brk_ref[0, j, cout][:, None]
-                            w_s = brks_ref[0, j, cout][:, None]
-                            prod = _shoup(w, w_s, dhat[jj], p)
-                            if eh[cout] is None:
-                                eh[cout] = prod
-                            else:
-                                s = eh[cout] + prod
-                                eh[cout] = jnp.where(s >= p, s - p, s)
-                ehs = jnp.stack(eh, axis=0)  # [2, N, Gt]
-                mono = mono_ref[0][None]
-                mono_s = monos_ref[0][None]
-                w = _shoup(mono, mono_s, ehs, p)
-                out_ref[0, 0] = _inv_body(
-                    w, itw_ref, itwsh_ref, imsk_ref, shifts_inv, qs, p, n,
-                    U32(ninvs[qs]), U32(ninv_shs[qs]),
-                )
-
+    scalars = np.stack([
+        np.asarray(primes, dtype=np.uint32),
+        np.asarray(ninvs, dtype=np.uint32),
+        np.asarray(ninv_shs, dtype=np.uint32),
+    ])  # [3, npr]
     tabs = [
+        jnp.asarray(scalars),
         jnp.asarray(fwd_tw), jnp.asarray(fwd_sh), jnp.asarray(fwd_msk),
         jnp.asarray(inv_tw), jnp.asarray(inv_sh), jnp.asarray(inv_msk),
     ]
     tab_specs = [
+        pl.BlockSpec((3, npr), lambda q, r, b: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((npr, s_count, n), lambda q, r, b: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((npr, s_count, n), lambda q, r, b: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((s_count, n), lambda q, r, b: (0, 0), memory_space=pltpu.VMEM),
