@@ -315,7 +315,12 @@ def bootstrap_fused_kms(ct, scheme, phase1_keys, params, interpret: bool = False
     """
     from ..schemes.common import initial_acc, mod_switch_2n
     from ..schemes.kms import _ctx, _keyswitch, _phase2_party
+    from ..schemes.params import KmsBlockParams
 
+    assert not isinstance(params, KmsBlockParams), (
+        "the fused phase-1 kernel implements the binary-key rotation; use "
+        "kms.bootstrap(..., pallas_ntt=True) for block presets"
+    )
     ctx = _ctx(params)
     k = params.k
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
@@ -324,15 +329,24 @@ def bootstrap_fused_kms(ct, scheme, phase1_keys, params, interpret: bool = False
 
     # party 1 needs a single RLEV row (its rotation hits the test vector
     # directly in phase 2 -- the reference's iter=1 special case at
-    # bootstrapping.jl:400); the rest carry l_lev rows.
-    levkeys = [
-        kms_phase1_fused(
-            tild[i], phase1_keys.brk_bm[i], phase1_keys.brk_bm_shoup[i],
-            phase1_keys, 1 if i == 0 else params.l_lev, params, ctx,
-            interpret=interpret,
+    # bootstrapping.jl:400); the rest carry l_lev rows and run under
+    # lax.map so their identical phase-1 program compiles ONCE, not k-1
+    # times (the per-party python loop dominated compile time at k=8).
+    lev0 = kms_phase1_fused(
+        tild[0], phase1_keys.brk_bm[0], phase1_keys.brk_bm_shoup[0],
+        phase1_keys, 1, params, ctx, interpret=interpret,
+    )
+    if k > 1:
+        lev_rest = jax.lax.map(
+            lambda xs: kms_phase1_fused(
+                xs[0], xs[1], xs[2], phase1_keys, params.l_lev, params, ctx,
+                interpret=interpret,
+            ),
+            (tild[1:], phase1_keys.brk_bm[1:], phase1_keys.brk_bm_shoup[1:]),
         )
-        for i in range(k)
-    ]
+        levkeys = [lev0] + [lev_rest[i] for i in range(k - 1)]
+    else:
+        levkeys = [lev0]
 
     acc = initial_acc(tildeb, params.big_n, k, ctx.dtype)
     for p1 in range(1, k + 1):

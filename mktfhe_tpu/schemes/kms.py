@@ -444,20 +444,24 @@ def bootstrap_bm(ct: Lwe, scheme: KmsScheme, phase1_keys, params: AnyKmsParams, 
     """
     from ..kernels.batchminor import kms_phase1_bm
 
+    assert not isinstance(params, KmsBlockParams), (
+        "batch-minor phase 1 implements the binary-key rotation; use "
+        "bootstrap(..., pallas_ntt=True) for block presets"
+    )
     ctx = _ctx(params)
     k = params.k
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
     g = tildea.shape[0]
     tild = jnp.moveaxis(tildea.reshape(g, k, params.n), 1, 0)  # [k, G, n]
 
-    # python loop over parties (k is static; avoids vmapping pallas_call)
-    levkeys = [
-        kms_phase1_bm(
-            tild[i], phase1_keys.brk_bm[i], phase1_keys.brk_bm_shoup[i],
-            phase1_keys, params.l_lev, params, ctx, interpret,
-        )
-        for i in range(k)
-    ]
+    # lax.map over parties: the identical per-party program compiles once
+    levkeys_all = jax.lax.map(
+        lambda xs: kms_phase1_bm(
+            xs[0], xs[1], xs[2], phase1_keys, params.l_lev, params, ctx, interpret
+        ),
+        (tild, phase1_keys.brk_bm, phase1_keys.brk_bm_shoup),
+    )
+    levkeys = [levkeys_all[i] for i in range(k)]
 
     acc = initial_acc(tildeb, params.big_n, k, ctx.dtype)
     for p1 in range(1, k + 1):
