@@ -107,10 +107,16 @@ TINY_KMS_2PARTY = KmsParams(
     n=8, alpha=16.0, f=8, log_d=2, big_n=64, beta=4.0,
     l_gsw=3, log_b_gsw=8, l_lev=2, log_b_lev=8, l_uni=3, log_b_uni=8, k=2,
 )
+# N=128 variant: the smallest ring the mx engine supports (N % 128 == 0).
+TINY_KMS_2PARTY_MX = KmsParams(
+    n=8, alpha=16.0, f=8, log_d=2, big_n=128, beta=4.0,
+    l_gsw=3, log_b_gsw=8, l_lev=2, log_b_lev=8, l_uni=3, log_b_uni=8, k=2,
+)
 
 TEST_PRESETS = {
     "TinyCGGI": TINY_CGGI,
     "TinyKMS2party": TINY_KMS_2PARTY,
+    "TinyKMS2partyMX": TINY_KMS_2PARTY_MX,
 }
 
 ALL_PRESETS = {
