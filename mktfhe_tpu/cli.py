@@ -35,7 +35,12 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--batch", type=int, default=8, help="independent circuits per trial")
     ap.add_argument("--chain", type=int, default=None, help="gates per circuit (default: k, or 3)")
-    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--seed", type=int, default=None,
+        help="deterministic seed; by default keygen randomness is seeded "
+        "from the ChaCha20 CSPRNG (native/chacha.py), like the reference's "
+        "ChaCha-sampled secrets (src/ring/sampler.jl)",
+    )
     ap.add_argument("--list", action="store_true", help="list presets and exit")
     args = ap.parse_args(argv)
 
@@ -58,8 +63,16 @@ def main(argv=None):
         return
 
     params = ALL_PRESETS[args.preset]
-    rng = jax.random.key(args.seed)
-    nprng = np.random.default_rng(args.seed)
+    if args.seed is None:
+        from .native.chacha import ChaCha20Stream, secure_key
+
+        stream = ChaCha20Stream()
+        rng = secure_key(stream)
+        nprng = np.random.default_rng(int(stream.secure_seed()))
+        print("# seeds: ChaCha20 CSPRNG (pass --seed for determinism)")
+    else:
+        rng = jax.random.key(args.seed)
+        nprng = np.random.default_rng(args.seed)
     t0 = time.time()
 
     single_key = isinstance(params, (CggiParams, BlockParams))

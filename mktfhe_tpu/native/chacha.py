@@ -133,3 +133,18 @@ class ChaCha20Stream:
         """64-bit seed for deriving a jax PRNG key from CSPRNG output."""
         w = self.words(2).astype(np.uint64)
         return int(w[0] | (w[1] << np.uint64(32)))
+
+
+def secure_key(stream: "ChaCha20Stream | None" = None):
+    """A jax PRNG key seeded from ChaCha20 CSPRNG output.
+
+    Default seed source for key generation (the reference draws every
+    secret from ChaCha20, /root/reference/src/ring/sampler.jl:1-34; here
+    the ChaCha output seeds jax's threefry, which then derives all
+    sampling streams on-device).  Pass an explicit `stream` for
+    deterministic tests."""
+    import jax
+
+    s = stream if stream is not None else ChaCha20Stream()
+    # np scalar: jax.random.key rejects python ints >= 2^63
+    return jax.random.key(np.uint64(s.secure_seed()))
