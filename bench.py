@@ -14,7 +14,10 @@ NOT trustworthy on this TPU runtime: block_until_ready was observed to
 return before dependent work actually completes, reporting physically
 impossible times; a dependency chain cannot be faked.
 
-Usage: python bench.py [scheme] [batch]   (scheme: cggi | kms2 | kms8)
+Usage: python bench.py [scheme] [batch]
+  scheme: cggi | cggi-bm | cggi-fused | kms{k} | kms{k}-bm | kms{k}-fk |
+          kms{k}-mx   (default kms8-mx -- the BASELINE.json metric scheme
+          with the MXU phase-1 engine)
 """
 
 import json
@@ -28,7 +31,7 @@ import numpy as np
 jax.config.update("jax_enable_x64", True)
 
 
-def _time_bootstraps(boot, chain_step, first_ct, reps=10):
+def _time_bootstraps(boot, chain_step, first_ct, reps=8):
     """Time a dependent chain: ct -> boot -> chain_step -> boot -> ..."""
     out = boot(first_ct)
     np.asarray(out.b)  # compile + warm; hard fetch
@@ -59,8 +62,10 @@ def _health_check(timeout_s: int = 60):
 
 
 def main():
-    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "cggi-fused"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "kms8-mx"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        256 if scheme_name.startswith("cggi") else 128
+    )
     _health_check()
 
     from mktfhe_tpu.schemes.gates import (
@@ -107,7 +112,12 @@ def main():
         from mktfhe_tpu.schemes import kms as mod
         from mktfhe_tpu.schemes.presets import ALL_PRESETS
 
-        k = int(scheme_name[3:] or 2)
+        engine = "mx"
+        kstr = scheme_name[3:]
+        for suf in ("-bm", "-fk", "-mx"):
+            if kstr.endswith(suf):
+                engine, kstr = suf[1:], kstr[: -len(suf)]
+        k = int(kstr or 2)
         params = ALL_PRESETS[f"KMS{k}party"]
         a = mod.crs(jax.random.key(0), params)
         parties = [
@@ -115,11 +125,23 @@ def main():
         ]
         lwe_keys = [p[0] for p in parties]
         scheme = mod.setup(a, [p[3] for p in parties], params, with_brk=False)
-        from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
-        from mktfhe_tpu.kernels.fused_kms import bootstrap_fused_kms
+        if engine == "mx":
+            from mktfhe_tpu.kernels.fused_mx import bootstrap_mx, build_mx_kms_phase1
 
-        bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
-        jax.block_until_ready(bm_keys.brk_bm)
+            p1_keys = build_mx_kms_phase1([p[3] for p in parties], params)
+            jax.block_until_ready(p1_keys.brk_mx)
+            boot = lambda ct: bootstrap_mx(ct, scheme, p1_keys, params, pallas_ntt=True)
+        else:
+            from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
+
+            p1_keys = build_bm_kms_phase1([p[3] for p in parties], params)
+            jax.block_until_ready(p1_keys.brk_bm)
+            if engine == "fk":
+                from mktfhe_tpu.kernels.fused_kms import bootstrap_fused_kms
+
+                boot = lambda ct: bootstrap_fused_kms(ct, scheme, p1_keys, params, pallas_ntt=True)
+            else:
+                boot = lambda ct: mod.bootstrap_bm(ct, scheme, p1_keys, params, pallas_ntt=True)
         keygen_s = time.time() - t0
         ct2 = lwe_ith_encrypt_bit(
             jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, k, (batch,)
@@ -129,7 +151,6 @@ def main():
         )
         first_ct = gate_affine(0, c1, ct2)
         chain_step = lambda prev: gate_affine(0, prev, ct2)
-        boot = lambda ct: bootstrap_fused_kms(ct, scheme, bm_keys, params, pallas_ntt=True)
         decrypt = lambda out: lwe_decrypt_bit_mk(out, lwe_keys)
         metric = f"kms{k}_gate_bootstraps_per_sec_per_chip"
     else:

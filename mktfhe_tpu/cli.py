@@ -42,7 +42,14 @@ def main(argv=None):
         "ChaCha-sampled secrets (src/ring/sampler.jl)",
     )
     ap.add_argument("--list", action="store_true", help="list presets and exit")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (this machine's TPU plugin ignores the "
+        "JAX_PLATFORMS env var; the config knob below works pre-init)",
+    )
     args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from .schemes import ccs, cggi, kms, lmss
     from .schemes.gates import (

@@ -45,6 +45,61 @@ class BootstrapCost:
         }
 
 
+def kms_cost(params, engine: str = "mx", nprimes: int = 3) -> BootstrapCost:
+    """Per-gate cost of a KMS two-phase bootstrap (SURVEY.md section 3.3,
+    bootstrapping.jl:369-558).
+
+    engine: 'ref'/'bm' count the NTT butterflies as VPU ops (a Shoup modmul
+    is ~11 u32 lane ops, a butterfly ~14); 'mx' moves the 128-point factor
+    of each transform onto the MXU as bf16 limb matmuls (kernels/mx_ntt.py)
+    leaving ~s_count VPU stages of the nb-point factor plus pointwise work.
+    """
+    n, big_n, k = params.n, params.big_n, params.k
+    l, l_lev, l_uni = params.l_gsw, params.l_lev, params.l_uni
+    logn = int(math.log2(big_n))
+    cpl = 2 * l  # decomposed digit polys per step (2 components x l)
+    rows = l_lev  # uniform RLEV rows in phase 1
+
+    # phase 1, per party per step: cpl fwd + 2 inv transforms, 2*cpl*2
+    # pointwise muls, mono weight, decomp+Garner overhead
+    fwd_elems = cpl * nprimes * big_n * logn // 2  # butterflies
+    inv_elems = 2 * nprimes * big_n * logn // 2
+    pointwise = nprimes * big_n * (cpl * 2 + 2)
+    glue = big_n * (10 * cpl + 30)  # decomp digits + Garner + u64 adds
+    if engine == "mx":
+        nb = big_n // 128
+        s_count = int(math.log2(nb)) if nb > 1 else 0
+        # VPU keeps: nb-point stages + twiddle + combine (~6 ops/elem) and
+        # the pointwise/glue terms
+        stage_elems = (cpl + 2) * nprimes * big_n * (s_count + 2) // 2
+        vpu_step = stage_elems * 14 + pointwise * 11 + glue
+        nsplit = 1 if params.log_b_gsw <= 9 else 2
+        mxu_step = nprimes * 128 * 128 * (
+            cpl * nb * 4 * nsplit + 2 * nb * 16
+        )
+    else:
+        vpu_step = (fwd_elems + inv_elems) * 14 + pointwise * 11 + glue
+        mxu_step = 0
+    p1_vpu = k * rows * n * vpu_step
+    p1_mxu = k * rows * n * mxu_step
+
+    # phase 2, party p1: LEV contract (p1*l_lev fwd + 2 inv round trips),
+    # hybrid product (~(p1*l_uni + l_uni) fwd + 2 inv + p1+2 out inv)
+    p2_ntt_polys = sum(
+        p1 * l_lev + 2 + p1 * l_uni + l_uni + (p1 + 2) for p1 in range(1, k + 1)
+    )
+    p2_vpu = p2_ntt_polys * nprimes * big_n * logn // 2 * 14
+
+    ks_macs = 4 * k * params.f * big_n * (n + 1)
+    brk_bytes = k * n * nprimes * cpl * 2 * big_n * 4 * 2
+    return BootstrapCost(
+        ntt_elems=(fwd_elems + inv_elems) * 2 * k * rows * n,
+        vpu_ops=p1_vpu + p2_vpu,
+        mxu_macs=p1_mxu + ks_macs,
+        hbm_bytes=brk_bytes,
+    )
+
+
 def cggi_cost(params, nprimes: int = 2) -> BootstrapCost:
     """Per-gate cost of a CGGI bootstrap (see SURVEY.md section 3.3)."""
     n, big_n, k, l = params.n, params.big_n, params.k, params.l_gsw

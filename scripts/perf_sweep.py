@@ -97,8 +97,8 @@ def run_config(name: str, batch: int, reps: int = 8):
             parties = [mod.party_keygen(jax.random.key(1 + i), crs_v, params) for i in range(k)]
             scheme = mod.setup(crs_v, [p[2] for p in parties], params)
         else:
-            bm = name.endswith("-bm") or name.endswith("-fk")
-            kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-fk", "")
+            bm = name.endswith(("-bm", "-fk", "-mx"))
+            kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-fk", "").replace("-mx", "")
             k = int(kstr)
             params = ALL_PRESETS[f"KMS{k}party"]
             mod = kms
@@ -116,6 +116,12 @@ def run_config(name: str, batch: int, reps: int = 8):
             bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
             jax.block_until_ready(bm_keys.brk_bm)
             boot = lambda ct: mod.bootstrap_bm(ct, scheme, bm_keys, params, pallas_ntt=True)
+        elif name.startswith("kms") and name.endswith("-mx"):
+            from mktfhe_tpu.kernels.fused_mx import bootstrap_mx, build_mx_kms_phase1
+
+            mx_keys = build_mx_kms_phase1([p[3] for p in parties], params)
+            jax.block_until_ready(mx_keys.brk_mx)
+            boot = lambda ct: bootstrap_mx(ct, scheme, mx_keys, params, pallas_ntt=True)
         elif name.startswith("kms") and name.endswith("-fk"):
             from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
             from mktfhe_tpu.kernels.fused_kms import bootstrap_fused_kms
@@ -141,6 +147,26 @@ def run_config(name: str, batch: int, reps: int = 8):
         "bootstraps_per_sec": round(batch / dt, 1),
         "decrypt_ok": ok,
     }
+    # roofline (BASELINE.md item 4): static cost model vs measured time
+    try:
+        from mktfhe_tpu.utils.profiling import cggi_cost, kms_cost
+
+        cost = None
+        if name.startswith("cggi"):
+            cost = cggi_cost(params, nprimes=params.nprimes)
+        elif name.startswith("kms") and "block" not in name:
+            cost = kms_cost(
+                params,
+                engine="mx" if name.endswith("-mx") else "ref",
+                nprimes=params.ring_nprimes,
+            )
+        if cost is not None:
+            s = cost.summary(batch, dt)
+            rec["vpu_utilization"] = round(s["vpu_utilization"], 3)
+            rec["vpu_bound_ms_per_gate"] = round(s["vpu_bound_ms"], 3)
+            rec["mxu_bound_ms_per_gate"] = round(s["mxu_bound_ms"], 4)
+    except Exception as e:
+        rec["roofline_error"] = repr(e)[:120]
     print(json.dumps(rec), flush=True)
     return rec
 
