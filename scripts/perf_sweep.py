@@ -175,7 +175,8 @@ def main():
     args = sys.argv[1:] or [
         "cggi:64", "cggi:256", "cggi-bm:64", "cggi-bm:256",
         "cggi-fused:64", "cggi-fused:256",
-        "lmss:64", "kms2:16", "kms2-bm:16", "kms8:8", "kms8-bm:8",
+        "lmss:64", "lmss-pl:64", "ccs2:16", "ccs2-pl:16",
+        "kms2-mx:128", "kms2-bm:16", "kms8-mx:128",
     ]
     results = []
     for spec in args:
