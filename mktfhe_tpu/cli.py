@@ -71,31 +71,38 @@ def main(argv=None):
 
     params = ALL_PRESETS[args.preset]
     if args.seed is None:
-        from .native.chacha import ChaCha20Stream, secure_key
+        from .native.chacha import ChaCha20Stream, secure_key, secure_streams
 
         stream = ChaCha20Stream()
-        rng = secure_key(stream)
+        rng = secure_key(stream)  # non-secret streams (messages, trials)
+        # every keygen call gets its own [KEYGEN_STREAMS] bundle of fresh
+        # 64-bit ChaCha-seeded keys (>= 256 bits of CSPRNG entropy each)
+        keygen_rng = lambda mod: secure_streams(mod.KEYGEN_STREAMS, stream)
         nprng = np.random.default_rng(int(stream.secure_seed()))
         print("# seeds: ChaCha20 CSPRNG (pass --seed for determinism)")
     else:
+        import itertools
+
         rng = jax.random.key(args.seed)
+        _kg = itertools.count()
+        keygen_rng = lambda mod: jax.random.fold_in(rng, 7000 + next(_kg))
         nprng = np.random.default_rng(args.seed)
     t0 = time.time()
 
     single_key = isinstance(params, (CggiParams, BlockParams))
     print(f"KEY GENERATION ({args.preset}) ...")
     if isinstance(params, CggiParams):
-        lwe_keys, _, scheme = cggi.setup(rng, params)
+        lwe_keys, _, scheme = cggi.setup(keygen_rng(cggi), params)
         lwe_keys = [lwe_keys]
         boot = lambda ct: cggi.bootstrap(ct, scheme, params)
     elif isinstance(params, BlockParams):
-        lwe_keys, _, scheme = lmss.setup(rng, params)
+        lwe_keys, _, scheme = lmss.setup(keygen_rng(lmss), params)
         lwe_keys = [lwe_keys]
         boot = lambda ct: lmss.bootstrap(ct, scheme, params)
     elif isinstance(params, CcsParams):
         a = ccs.crs(rng, params)
         parties = [
-            ccs.party_keygen(jax.random.fold_in(rng, i), a, params)
+            ccs.party_keygen(keygen_rng(ccs), a, params)
             for i in range(params.k)
         ]
         lwe_keys = [p[0] for p in parties]
@@ -105,7 +112,7 @@ def main(argv=None):
         assert isinstance(params, (KmsParams, KmsBlockParams))
         a = kms.crs(rng, params)
         parties = [
-            kms.party_keygen(jax.random.fold_in(rng, i), a, params)
+            kms.party_keygen(keygen_rng(kms), a, params)
             for i in range(params.k)
         ]
         lwe_keys = [p[0] for p in parties]

@@ -279,7 +279,7 @@ def bootstrap_bm(ct: Lwe, scheme: BmScheme, params, interpret: bool = False) -> 
     Semantically identical to schemes.cggi.bootstrap (the monomial table
     and the negacyclic roll compute the same exact integers).
     """
-    from ..schemes.common import initial_acc, keyswitch_unbalanced, mod_switch_2n
+    from ..schemes.common import initial_acc, keyswitch_table, mod_switch_2n
 
     ctx = make_ring_ctx(params.big_n, params.torus_bits, params.nprimes)
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
@@ -287,4 +287,4 @@ def bootstrap_bm(ct: Lwe, scheme: BmScheme, params, interpret: bool = False) -> 
     acc = jnp.transpose(acc, (1, 2, 0))  # -> [k+1, N, G]
     acc = blind_rotate_bm(acc, tildea, scheme, params, ctx, interpret)
     acc = jnp.transpose(acc, (2, 0, 1))  # -> [G, k+1, N]
-    return keyswitch_unbalanced(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)
+    return keyswitch_table(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)

@@ -191,7 +191,7 @@ def bootstrap_fused(ct: Lwe, scheme, params, g_tile: int = 64, interpret: bool =
     scheme: kernels.batchminor.BmScheme (same key layout).  Bit-identical
     to the other engines.
     """
-    from ..schemes.common import initial_acc, keyswitch_unbalanced, mod_switch_2n
+    from ..schemes.common import initial_acc, keyswitch_table, mod_switch_2n
 
     ctx = make_ring_ctx(params.big_n, params.torus_bits, params.nprimes)
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
@@ -213,4 +213,4 @@ def bootstrap_fused(ct: Lwe, scheme, params, g_tile: int = 64, interpret: bool =
 
     acc, _ = jax.lax.scan(step, acc, (scheme.brk_bm, scheme.brk_bm_shoup, tildea.T))
     acc = jnp.transpose(acc, (2, 0, 1))
-    return keyswitch_unbalanced(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)
+    return keyswitch_table(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)

@@ -20,7 +20,7 @@ from ..ciphertext.gsw import external_product_hat
 from ..ciphertext.lwe import Lwe
 from ..ring.context import make_ring_ctx
 from ..ring.torus import from_crt, lift_signed_small, negacyclic_roll
-from ..schemes.common import initial_acc, keyswitch_unbalanced, mod_switch_2n
+from ..schemes.common import initial_acc, keyswitch_table, mod_switch_2n
 from .ntt_pallas import fwd_ntt_nat, inv_ntt_nat
 
 
@@ -47,4 +47,4 @@ def bootstrap_nat(ct: Lwe, scheme, params, interpret: bool = False) -> Lwe:
         return acc + rolled - e, None
 
     acc, _ = jax.lax.scan(step, acc, (scheme.brk_hat, scheme.brk_shoup, tildea.T))
-    return keyswitch_unbalanced(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)
+    return keyswitch_table(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)

@@ -136,15 +136,30 @@ class ChaCha20Stream:
 
 
 def secure_key(stream: "ChaCha20Stream | None" = None):
-    """A jax PRNG key seeded from ChaCha20 CSPRNG output.
+    """A single jax PRNG key seeded from ChaCha20 CSPRNG output.
 
-    Default seed source for key generation (the reference draws every
-    secret from ChaCha20, /root/reference/src/ring/sampler.jl:1-34; here
-    the ChaCha output seeds jax's threefry, which then derives all
-    sampling streams on-device).  Pass an explicit `stream` for
-    deterministic tests."""
+    One threefry key carries only 64 bits; key *generation* must use
+    `secure_streams` so every top-level sampling stream gets its own fresh
+    64 bits of ChaCha output (>= 256 bits per keygen, matching the
+    reference's everything-from-ChaCha stance,
+    /root/reference/src/ring/sampler.jl:1-34).  This single-key form is
+    for non-secret uses (benchmark message sampling)."""
     import jax
 
     s = stream if stream is not None else ChaCha20Stream()
     # np scalar: jax.random.key rejects python ints >= 2^63
     return jax.random.key(np.uint64(s.secure_seed()))
+
+
+def secure_streams(n: int, stream: "ChaCha20Stream | None" = None):
+    """[n] independent jax PRNG keys, each from 2 fresh ChaCha words.
+
+    Feed to a keygen's `rng` argument (ring/sampler.py:rng_streams): the
+    keygen then consumes 64*n bits of CSPRNG entropy -- n >= 4 for every
+    scheme, so each keygen draws >= 256 bits of ChaCha output instead of
+    funnelling everything through one 64-bit threefry seed."""
+    import jax
+
+    s = stream if stream is not None else ChaCha20Stream()
+    data = s.words(2 * n).reshape(n, 2)
+    return jax.random.wrap_key_data(data, impl="threefry2x32")

@@ -16,6 +16,21 @@ import jax.numpy as jnp
 from .torus import bits_of
 
 
+def rng_streams(rng, n: int):
+    """n independent top-level sampling streams for a keygen.
+
+    `rng` is either a single PRNG key (split n ways -- the deterministic
+    test path) or a pre-seeded [n] key array from
+    native/chacha.secure_streams, where each entry carries its own fresh
+    64 bits of CSPRNG entropy (so a keygen consumes >= 256 bits of ChaCha
+    output, matching sampler.jl:1-34's everything-from-ChaCha stance).
+    """
+    if getattr(rng, "ndim", 0) == 1:
+        assert rng.shape[0] == n, f"expected {n} streams, got {rng.shape[0]}"
+        return rng
+    return jax.random.split(rng, n)
+
+
 def uniform_torus(key, shape, dtype):
     """Uniform torus elements (uniform_random32/64, sampler.jl:30-34)."""
     if bits_of(dtype) == 32:

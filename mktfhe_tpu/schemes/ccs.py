@@ -27,11 +27,15 @@ from ..ciphertext.keys import binary_lwe_key, binary_ring_key
 from ..ciphertext.lwe import Lwe
 from ..ciphertext.unienc import gen_b, sample_crs, unienc_encrypt
 from ..ring.context import RingCtx, make_ring_ctx
+from ..ring.sampler import rng_streams
 from ..ring.modring import addmod, modsum, negmod, shoup_mul
 from ..ring.ntt import fwd_ntt, inv_ntt, shoup_pair
 from ..ring.torus import from_crt, lift, lift_signed_small, negacyclic_roll
 from .common import build_ksk, initial_acc, keyswitch_per_party, mod_switch_2n
 from .params import CcsParams
+
+# top-level sampling streams consumed by keygen (ring/sampler.rng_streams)
+KEYGEN_STREAMS = 5
 
 
 class CcsPartyKey(NamedTuple):
@@ -41,8 +45,8 @@ class CcsPartyKey(NamedTuple):
     pub_b: jnp.ndarray  # [l_uni, N] public key against the CRS
     brk_d: jnp.ndarray  # [n, l_uni, N] uni-encryption masked vectors
     brk_f: jnp.ndarray  # [n, l_uni, 2, N] uni-encryption RLEV parts
-    ksk_b: jnp.ndarray  # [NLIMB, N*f] int8
-    ksk_a: jnp.ndarray  # [NLIMB, N*f, n] int8
+    ksk_b: jnp.ndarray  # [NLIMB, R] int8, R = N*f*D/2
+    ksk_a: jnp.ndarray  # [NLIMB, R, n] int8
 
 
 @jax.tree_util.register_dataclass
@@ -58,8 +62,8 @@ class CcsScheme:
     brk_d_shoup: jnp.ndarray
     brk_f_hat: jnp.ndarray  # [k, n, l_uni, 2, npr, N]
     brk_f_shoup: jnp.ndarray
-    ksk_b: jnp.ndarray  # [k, NLIMB, N*f]
-    ksk_a: jnp.ndarray  # [k, NLIMB, N*f, n]
+    ksk_b: jnp.ndarray  # [k, NLIMB, R]
+    ksk_a: jnp.ndarray  # [k, NLIMB, R, n]
 
 
 def _ctx(params: CcsParams) -> RingCtx:
@@ -79,7 +83,7 @@ def party_keygen(rng, crs_polys, params: CcsParams):
     the party/trust boundary.
     """
     ctx = _ctx(params)
-    k_lwe, k_ring, k_b, k_brk, k_ksk = jax.random.split(rng, 5)
+    k_lwe, k_ring, k_b, k_brk, k_ksk = rng_streams(rng, KEYGEN_STREAMS)
     lwe_key = binary_lwe_key(k_lwe, params.n, jnp.uint32)
     ring_key = binary_ring_key(k_ring, 1, ctx)
 

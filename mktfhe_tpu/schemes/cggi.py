@@ -28,10 +28,14 @@ from ..ciphertext.gsw import external_product_hat, rgsw_encrypt, rgsw_to_hat, rl
 from ..ciphertext.keys import binary_lwe_key, binary_ring_key
 from ..ciphertext.lwe import Lwe
 from ..ring.context import RingCtx, make_ring_ctx
+from ..ring.sampler import rng_streams
 from ..ring.ntt import inv_ntt
 from ..ring.torus import from_crt, negacyclic_roll
-from .common import initial_acc, keyswitch_unbalanced, mod_switch_2n, build_ksk
+from .common import initial_acc, keyswitch_table, mod_switch_2n, build_ksk
 from .params import CggiParams
+
+# top-level sampling streams consumed by keygen (ring/sampler.rng_streams)
+KEYGEN_STREAMS = 4
 
 
 @jax.tree_util.register_dataclass
@@ -41,8 +45,8 @@ class CggiScheme:
 
     brk_hat: jnp.ndarray  # [n, k+1, l, k+1, npr, N] uint32
     brk_shoup: jnp.ndarray
-    ksk_b: jnp.ndarray  # [NLIMB, k*N*f] int8
-    ksk_a: jnp.ndarray  # [NLIMB, k*N*f, n] int8
+    ksk_b: jnp.ndarray  # [NLIMB, R] int8, R = k*N*f*D/2
+    ksk_a: jnp.ndarray  # [NLIMB, R, n] int8
 
 
 def _ctx(params: CggiParams) -> RingCtx:
@@ -58,7 +62,7 @@ def setup(rng, params: CggiParams):
     redesigned as matmul operands, see common.build_ksk).
     """
     ctx = _ctx(params)
-    k_lwe, k_ring, k_brk, k_ksk = jax.random.split(rng, 4)
+    k_lwe, k_ring, k_brk, k_ksk = rng_streams(rng, KEYGEN_STREAMS)
     lwe_key = binary_lwe_key(k_lwe, params.n, jnp.uint32)
     ring_key = binary_ring_key(k_ring, params.k, ctx)
 
@@ -110,4 +114,4 @@ def bootstrap(ct: Lwe, scheme: CggiScheme, params: CggiParams) -> Lwe:
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
     acc = initial_acc(tildeb, params.big_n, params.k, ctx.dtype)
     acc = blind_rotate(acc, tildea, scheme, params, ctx)
-    return keyswitch_unbalanced(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)
+    return keyswitch_table(acc, scheme.ksk_b, scheme.ksk_a, params.f, params.log_d)

@@ -6,14 +6,19 @@ key-switch epilogue -- redesigned TPU-first:
 
   * The test vector is built branchlessly by a negacyclic roll (the
     reference branches on tildeb <= N, bootstrapping.jl:13-22).
-  * Key switching becomes an int8 MXU matmul: gadget digits of the
-    extracted coefficients (small ints) times the key-switching key split
-    into four signed 8-bit limbs, recombined with wrapping shifts -- exact
-    mod 2^32.  This replaces the reference's digit-value table lookup
-    (bootstrapping.jl:81-109), which is gather-heavy and TPU-hostile.
-    KSK rows are fresh encryptions of coeff * g_j; multiplying by digits
-    <= D-1 scales their noise by at most D-1 (vs the reference's per-value
-    table), a negligible term against the decomposition error.
+  * Key switching becomes an int8 MXU matmul: a *signed one-hot* encoding
+    of the balanced gadget digits times a digit-value table of fresh LWE
+    encryptions, split into four signed 8-bit limbs and recombined with
+    wrapping shifts -- exact mod 2^32.  This replaces the reference's
+    digit-value table lookup (bootstrapping.jl:81-109), which is
+    gather-heavy and TPU-hostile, while keeping its noise semantics
+    exactly: each nonzero digit adds ONE fresh encryption noise unit
+    (the reference's table has rows for every digit value,
+    keygen.jl:17-23; its block variant halves the table with signed
+    add/sub, keygen.jl:29-55 -- the signed value table here matches that).
+    An earlier revision multiplied a single row coeff*g_j by the digit,
+    scaling the fresh noise by E[d^2] = 3.5 (D=4); measured margins
+    (MARGINS.md) showed that cost is NOT negligible, so it was replaced.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ciphertext.decomp import balanced_decomp, unbalanced_decomp
+from ..ciphertext.decomp import balanced_decomp
 from ..ciphertext.keys import LweKey
 from ..ciphertext.lwe import Lwe, lwe_encrypt
 from ..ciphertext.rlwe import gadget_gvec
@@ -88,21 +93,41 @@ def build_ksk(rng, ring_coeffs, lwe_key: LweKey, f: int, log_d: int, sigma: floa
     """Key-switching key as int8 limb matrices for the matmul key switch.
 
     ring_coeffs: [rows] uint32 -- the target-key coefficients in extraction
-    order (one row per (ring component, coeff, level) after scaling by g_j).
-    Returns (ksk_b [NLIMB, rows*f] int8-as-int8, ksk_a [NLIMB, rows*f, n]).
-    Redesigns BootKey_bin's ksk table (keygen.jl:17-23): rows are fresh LWE
-    encryptions of coeff * g_j rather than a (D-1)-way value table.
+    order.  One table row per (coeff, level j, digit value v) for
+    v = 1..D/2, encrypting coeff * g_j * v -- the signed half of
+    BootKey_bin's (D-1)-value table (keygen.jl:17-23; the signed-half
+    layout matches the block variant, keygen.jl:29-55).  Consumed with the
+    signed one-hot of *balanced* digits, so every nonzero digit adds
+    exactly one fresh encryption noise unit.
+    Returns (ksk_b [NLIMB, R] int8, ksk_a [NLIMB, R, n] int8) with
+    R = rows * f * (D/2).
     """
+    half = (1 << log_d) // 2
     gvec = gadget_gvec(f, log_d, jnp.uint32)  # [f]
-    msgs = ring_coeffs[:, None] * gvec[None, :]  # [rows, f]
+    vals = jnp.arange(1, half + 1, dtype=jnp.uint32)  # [D/2]
+    msgs = ring_coeffs[:, None, None] * gvec[None, :, None] * vals[None, None, :]
     ct = lwe_encrypt(rng, msgs, lwe_key, sigma, shape=msgs.shape)
-    rows = msgs.shape[0] * f
-    ksk_b = to_signed_limbs(ct.b.reshape(rows))  # [rows, NLIMB]
-    ksk_a = to_signed_limbs(ct.a.reshape(rows, -1))  # [rows, n, NLIMB]
+    rows = msgs.size
+    ksk_b = to_signed_limbs(ct.b.reshape(rows))  # [R, NLIMB]
+    ksk_a = to_signed_limbs(ct.a.reshape(rows, -1))  # [R, n, NLIMB]
     return (
         jnp.moveaxis(ksk_b, -1, 0),
         jnp.moveaxis(ksk_a, -1, 0),
     )
+
+
+def signed_onehot(digits, log_d: int):
+    """Balanced digits int32 [..., f] in [-D/2, D/2) -> signed one-hot int8
+    [..., f*(D/2)]: entry (j, v) is sign(d_j) iff |d_j| == v, matching the
+    build_ksk table layout.  Contracting against the table reproduces
+    sum_j d_j * coeff * g_j with one fresh noise unit per nonzero digit
+    (the reference's table-lookup semantics, bootstrapping.jl:81-109)."""
+    half = 1 << (log_d - 1)
+    vs = jnp.arange(1, half + 1, dtype=digits.dtype)
+    oh = (digits[..., None] == vs).astype(jnp.int8) - (
+        digits[..., None] == -vs
+    ).astype(jnp.int8)
+    return oh.reshape(*digits.shape[:-1], digits.shape[-1] * half)
 
 
 def _limb_matmul(digits_i8, ksk_b, ksk_a):
@@ -133,17 +158,17 @@ def _limb_matmul(digits_i8, ksk_b, ksk_a):
     return u32(outb), u32(outa)
 
 
-def keyswitch_unbalanced(acc, ksk_b, ksk_a, f: int, log_d: int):
-    """CGGI/CCS-style key switch (bootstrapping.jl:81-109, :333-364).
+def keyswitch_table(acc, ksk_b, ksk_a, f: int, log_d: int):
+    """CGGI-style key switch (bootstrapping.jl:81-109).
 
     acc: [..., k+1, N] uint32 ring accumulator (component 0 = b).
     Returns Lwe with dim = ksk_a.shape[-1].
     """
-    assert log_d <= 7, "unbalanced key-switch digits must fit int8"
     b = acc[..., 0, 0]
     arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
-    digits = unbalanced_decomp(arr, f, log_d)  # [..., k, N, f] in [0, D)
-    flat = digits.reshape(*digits.shape[:-3], -1).astype(jnp.int8)
+    digits = balanced_decomp(arr, f, log_d)  # [..., k, N, f]
+    oh = signed_onehot(digits, log_d)  # [..., k, N, f*D/2]
+    flat = oh.reshape(*oh.shape[:-3], -1)
     db, da = _limb_matmul(flat, ksk_b, ksk_a)
     return Lwe(b=b + db, a=da)
 
@@ -152,17 +177,17 @@ def keyswitch_per_party(acc, ksk_b, ksk_a, f: int, log_d: int):
     """Multi-key key switch (CCS/KMS, bootstrapping.jl:333-364, :564-594).
 
     acc: [..., k+1, N] uint32 (component i>=1 = party i's ring mask).
-    ksk_b: [k, NLIMB, N*f] int8; ksk_a: [k, NLIMB, N*f, n] int8 (party-wise
-    keys).  Each party's extracted coefficients key-switch against its own
-    ksk; partial b's sum (the reference's racy `res.b += partctxt[i].b` at
-    :361 becomes a reduction) and the a segments concatenate into the k*n
-    mask.  Returns Lwe of dimension k*n.
+    ksk_b: [k, NLIMB, R] int8; ksk_a: [k, NLIMB, R, n] int8 (party-wise
+    signed value tables, R = N*f*D/2).  Each party's extracted coefficients
+    key-switch against its own ksk; partial b's sum (the reference's racy
+    `res.b += partctxt[i].b` at :361 becomes a reduction) and the a
+    segments concatenate into the k*n mask.  Returns Lwe of dimension k*n.
     """
-    assert log_d <= 7, "unbalanced key-switch digits must fit int8"
     b0 = acc[..., 0, 0]
     arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
-    digits = unbalanced_decomp(arr, f, log_d)  # [..., k, N, f]
-    flat = digits.reshape(*digits.shape[:-2], -1).astype(jnp.int8)  # [..., k, N*f]
+    digits = balanced_decomp(arr, f, log_d)  # [..., k, N, f]
+    oh = signed_onehot(digits, log_d)  # [..., k, N, f*D/2]
+    flat = oh.reshape(*oh.shape[:-2], -1)  # [..., k, R]
     k = flat.shape[-2]
     lead = flat.shape[:-2]
     outb = jnp.zeros(lead + (k,), dtype=jnp.int32)
@@ -188,18 +213,19 @@ def keyswitch_partial(acc, n_free: int, ksk_b, ksk_a, f: int, log_d: int):
 
     The ring key's first n_free coefficients ARE the LWE key, so those
     extracted coefficients pass through for free; the tail goes through a
-    *balanced* decomposition (signed digits, handled natively by the signed
-    int8 matmul -- the reference's add/sub branching at :196-201 vanishes).
-    ksk rows cover only the tail coefficients (rows = (k*N - n_free) * f).
+    balanced decomposition whose signed one-hot contracts against the
+    value table (the reference's add/sub branching at :196-201 vanishes
+    into the +-1 one-hot entries).  ksk rows cover only the tail
+    coefficients (R = (k*N - n_free) * f * D/2).
     acc: [..., k+1, N]; returns Lwe of dimension n_free.
     """
-    assert log_d <= 8, "balanced key-switch digits must fit int8"
     b = acc[..., 0, 0]
     arr = sample_extract_coeffs(acc[..., 1:, :])  # [..., k, N]
     flat = arr.reshape(*arr.shape[:-2], -1)  # [..., k*N]
     free = flat[..., :n_free]
     tail = flat[..., n_free:]
     digits = balanced_decomp(tail, f, log_d)  # [..., tail, f] signed
-    dflat = digits.reshape(*digits.shape[:-2], -1).astype(jnp.int8)
+    oh = signed_onehot(digits, log_d)
+    dflat = oh.reshape(*oh.shape[:-2], -1)
     db, da = _limb_matmul(dflat, ksk_b, ksk_a)
     return Lwe(b=b + db, a=free + da)

@@ -43,6 +43,7 @@ from ..ciphertext.lwe import Lwe
 from ..ciphertext.rlwe import gadget_gvec
 from ..ciphertext.unienc import gen_b, sample_crs, unienc_encrypt
 from ..ring.context import RingCtx, make_ring_ctx
+from ..ring.sampler import rng_streams
 from ..ring.modring import addmod, modsum, mulmod_runtime, negmod, shoup_mul
 from ..ring.ntt import fwd_ntt, inv_ntt, shoup_pair
 from ..ring.torus import from_crt, lift, lift_signed_small, negacyclic_roll
@@ -52,8 +53,12 @@ from .common import (
     keyswitch_per_party,
     mod_switch_2n,
     sample_extract_coeffs,
+    signed_onehot,
 )
 from .params import KmsBlockParams, KmsParams
+
+# top-level sampling streams consumed by keygen (ring/sampler.rng_streams)
+KEYGEN_STREAMS = 7
 
 
 class KmsPartyKey(NamedTuple):
@@ -109,7 +114,7 @@ def party_keygen(rng, crs_polys, params: AnyKmsParams):
     """
     ctx = _ctx(params)
     is_block = isinstance(params, KmsBlockParams)
-    k_lwe, k_gsw, k_uni, k_b, k_rlk, k_brk, k_ksk = jax.random.split(rng, 7)
+    k_lwe, k_gsw, k_uni, k_b, k_rlk, k_brk, k_ksk = rng_streams(rng, KEYGEN_STREAMS)
     if is_block:
         lwe_key = block_binary_lwe_key(k_lwe, params.d, params.ell, jnp.uint32)
         uni_key = partial_ring_key(k_uni, 1, lwe_key, ctx)
@@ -403,7 +408,8 @@ def _keyswitch(acc, scheme: KmsScheme, params: AnyKmsParams) -> Lwe:
     free = arr[..., :n]
     tail = arr[..., n:]
     digits = balanced_decomp(tail, params.f, params.log_d)  # [G,k,tail,f]
-    flat = digits.reshape(*digits.shape[:-2], -1).astype(jnp.int8)
+    oh = signed_onehot(digits, params.log_d)
+    flat = oh.reshape(*oh.shape[:-2], -1)
     outb = None
     outa = None
     for limb in range(scheme.ksk_b.shape[1]):

@@ -29,11 +29,15 @@ from ..ciphertext.gsw import external_product_hat, rgsw_encrypt, rgsw_to_hat, rl
 from ..ciphertext.keys import block_binary_lwe_key, partial_ring_key
 from ..ciphertext.lwe import Lwe
 from ..ring.context import RingCtx, make_ring_ctx
+from ..ring.sampler import rng_streams
 from ..ring.modring import addmod, shoup_mul
 from ..ring.ntt import fwd_ntt, inv_ntt, shoup_pair
 from ..ring.torus import from_crt, lift
 from .common import build_ksk, initial_acc, keyswitch_partial, mod_switch_2n
 from .params import BlockParams
+
+# top-level sampling streams consumed by keygen (ring/sampler.rng_streams)
+KEYGEN_STREAMS = 4
 
 
 @jax.tree_util.register_dataclass
@@ -45,8 +49,8 @@ class LmssScheme:
     brk_shoup: jnp.ndarray
     mono_hat: jnp.ndarray  # [2N, npr, N] NTT(X^a - 1)
     mono_shoup: jnp.ndarray
-    ksk_b: jnp.ndarray  # [NLIMB, (k*N - n) * f]
-    ksk_a: jnp.ndarray  # [NLIMB, (k*N - n) * f, n]
+    ksk_b: jnp.ndarray  # [NLIMB, (k*N - n) * f * D/2]
+    ksk_a: jnp.ndarray  # [NLIMB, (k*N - n) * f * D/2, n]
 
 
 def _ctx(params: BlockParams) -> RingCtx:
@@ -82,7 +86,7 @@ def setup(rng, params: BlockParams):
     LWE key; keygen.jl:43-51).
     """
     ctx = _ctx(params)
-    k_lwe, k_ring, k_brk, k_ksk = jax.random.split(rng, 4)
+    k_lwe, k_ring, k_brk, k_ksk = rng_streams(rng, KEYGEN_STREAMS)
     lwe_key = block_binary_lwe_key(k_lwe, params.d, params.ell, jnp.uint32)
     ring_key = partial_ring_key(k_ring, params.k, lwe_key, ctx)
 

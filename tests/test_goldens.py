@@ -41,4 +41,4 @@ def test_cggi_bootstrap_golden():
     ct1 = lwe_encrypt_bit(jax.random.key(1), m, lwe_key, TINY.alpha, (4,))
     ct2 = lwe_encrypt_bit(jax.random.key(2), ~m, lwe_key, TINY.alpha, (4,))
     out = cggi.bootstrap(gate_affine(0, ct1, ct2), scheme, TINY)
-    assert _digest(out.b, out.a) == "266a03ea0c715935", _digest(out.b, out.a)
+    assert _digest(out.b, out.a) == "544bd48d5be989c3", _digest(out.b, out.a)

