@@ -16,8 +16,9 @@ impossible times; a dependency chain cannot be faked.
 
 Usage: python bench.py [scheme] [batch]
   scheme: cggi | cggi-bm | cggi-fused | kms{k} | kms{k}-bm | kms{k}-fk |
-          kms{k}-mx   (default kms8-mx -- the BASELINE.json metric scheme
-          with the MXU phase-1 engine)
+          kms{k}-mx | kms{k}-mx2   (default kms8-mx2 -- the BASELINE.json
+          metric scheme with the whole-rotation MXU phase-1 engine).
+          Bare kms{k} is the jnp reference path, as in scripts/perf_sweep.py.
 """
 
 import json
@@ -62,7 +63,7 @@ def _health_check(timeout_s: int = 60):
 
 
 def main():
-    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "kms8-mx"
+    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "kms8-mx2"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
         256 if scheme_name.startswith("cggi") else 128
     )
@@ -112,9 +113,9 @@ def main():
         from mktfhe_tpu.schemes import kms as mod
         from mktfhe_tpu.schemes.presets import ALL_PRESETS
 
-        engine = "mx"
+        engine = "ref"  # bare kms{k} = jnp reference path (as perf_sweep)
         kstr = scheme_name[3:]
-        for suf in ("-bm", "-fk", "-mx"):
+        for suf in ("-bm", "-fk", "-mx", "-mx2"):
             if kstr.endswith(suf):
                 engine, kstr = suf[1:], kstr[: -len(suf)]
         k = int(kstr or 2)
@@ -124,8 +125,16 @@ def main():
             mod.party_keygen(jax.random.key(1 + i), a, params) for i in range(k)
         ]
         lwe_keys = [p[0] for p in parties]
-        scheme = mod.setup(a, [p[3] for p in parties], params, with_brk=False)
-        if engine == "mx":
+        scheme = mod.setup(a, [p[3] for p in parties], params, with_brk=(engine == "ref"))
+        if engine == "ref":
+            boot = lambda ct: mod.bootstrap(ct, scheme, params, pallas_ntt=True)
+        elif engine == "mx2":
+            from mktfhe_tpu.kernels.fused_mx2 import bootstrap_mx2, build_mx_kms_keys
+
+            p1_keys = build_mx_kms_keys([p[3] for p in parties], params)
+            jax.block_until_ready(p1_keys.brk_mx)
+            boot = lambda ct: bootstrap_mx2(ct, scheme, p1_keys, params, pallas_ntt=True)
+        elif engine == "mx":
             from mktfhe_tpu.kernels.fused_mx import bootstrap_mx, build_mx_kms_phase1
 
             p1_keys = build_mx_kms_phase1([p[3] for p in parties], params)

@@ -55,6 +55,12 @@ def _phase1_fn(engine: str, params, ctx, pallas_ntt: bool, interpret: bool, sche
         return lambda ta, bh, bs: kms_phase1_mx(
             ta, bh, bs, p1k, params.l_lev, params, ctx, interpret=interpret
         )
+    if engine == "mx2":
+        from ..kernels.fused_mx2 import kms_phase1_mx2
+
+        return lambda ta, bh, bs: kms_phase1_mx2(
+            ta, bh, bs, params.l_lev, params, ctx, interpret=interpret
+        )
     if isinstance(params, KmsBlockParams):
         return lambda ta, bh, bs: kms.phase1_block(
             ta, bh, bs, params.l_lev, scheme, params, ctx, pallas_ntt, interpret
@@ -71,10 +77,12 @@ def _bootstrap_shardmap(ct, scheme, params, mesh, pallas_ntt, interpret, engine,
     ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
     k = params.k
     n_party = mesh.shape["party"]
+    n_batch = mesh.shape.get("batch", 1)  # party-only meshes are valid
+    has_batch = "batch" in mesh.shape
     tildeb, tildea = mod_switch_2n(ct, params.big_n)
     g = tildea.shape[0]
     tild = jnp.moveaxis(tildea.reshape(g, k, params.n), 1, 0)  # [k, G, n]
-    g_local = g // mesh.shape["batch"]
+    g_local = g // n_batch
     split_p2 = g_local % n_party == 0
 
     def body(tb_l, ta_l, brk_h_l, brk_s_l, scheme_r, p1k_r):
@@ -110,11 +118,12 @@ def _bootstrap_shardmap(ct, scheme, params, mesh, pallas_ntt, interpret, engine,
             return b, a
         return out.b, out.a
 
+    bax = "batch" if has_batch else None
     b, a = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("batch"), P("party", "batch"), P("party"), P("party"), P(), P()),
-        out_specs=(P("batch"), P("batch")),
+        in_specs=(P(bax), P("party", bax), P("party"), P("party"), P(), P()),
+        out_specs=(P(bax), P(bax)),
         check_vma=False,
     )(tildeb, tild, brk_h, brk_s, scheme, p1k)
     return Lwe(b=b, a=a)
@@ -125,8 +134,9 @@ def kms_bootstrap_shardmap(ct: Lwe, scheme: kms.KmsScheme, params, mesh: Mesh, p
 
     Engine selection: phase1_keys=None runs the reference jnp phase 1
     (pallas_ntt routes its NTTs through the Pallas kernels); a BmKmsPhase1
-    runs the batch-minor engine; an MxKmsPhase1 runs the MXU mx engine.
-    Requires mesh axis 'party' with size dividing k.
+    runs the batch-minor engine; an MxKmsPhase1 the MXU mx engine; an
+    MxKmsKeys the whole-rotation mx2 engine.  Requires mesh axis 'party'
+    with size dividing k; a 'batch' axis is optional.
     """
     engine = "ref"
     brk_h, brk_s = scheme.brk_hat, scheme.brk_shoup
@@ -134,9 +144,13 @@ def kms_bootstrap_shardmap(ct: Lwe, scheme: kms.KmsScheme, params, mesh: Mesh, p
     if phase1_keys is not None:
         from ..kernels.batchminor import BmKmsPhase1
         from ..kernels.fused_mx import MxKmsPhase1
+        from ..kernels.fused_mx2 import MxKmsKeys
 
         z = jnp.zeros((0,), dtype=jnp.uint32)
-        if isinstance(phase1_keys, MxKmsPhase1):
+        if isinstance(phase1_keys, MxKmsKeys):
+            engine = "mx2"
+            brk_h, brk_s = phase1_keys.brk_mx, phase1_keys.brk_mx_shoup
+        elif isinstance(phase1_keys, MxKmsPhase1):
             engine = "mx"
             brk_h, brk_s = phase1_keys.brk_mx, phase1_keys.brk_mx_shoup
             p1k = dataclasses.replace(phase1_keys, brk_mx=z, brk_mx_shoup=z)
@@ -146,6 +160,11 @@ def kms_bootstrap_shardmap(ct: Lwe, scheme: kms.KmsScheme, params, mesh: Mesh, p
             p1k = dataclasses.replace(phase1_keys, brk_bm=z, brk_bm_shoup=z)
         else:
             raise TypeError(f"unknown phase1_keys type {type(phase1_keys)}")
+    # phase 2 never touches scheme.brk_*; strip the largest key material
+    # from the replicated operand so an all-gather of it is impossible
+    # regardless of XLA dead-code elimination (brk reaches phase 1 via the
+    # party-sharded brk_h/brk_s operands).
     return _bootstrap_shardmap(
-        ct, scheme, params, mesh, pallas_ntt, interpret, engine, p1k, brk_h, brk_s
+        ct, kms.drop_brk(scheme), params, mesh, pallas_ntt, interpret, engine,
+        p1k, brk_h, brk_s,
     )

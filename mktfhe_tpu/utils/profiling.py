@@ -50,9 +50,10 @@ def kms_cost(params, engine: str = "mx", nprimes: int = 3) -> BootstrapCost:
     bootstrapping.jl:369-558).
 
     engine: 'ref'/'bm' count the NTT butterflies as VPU ops (a Shoup modmul
-    is ~11 u32 lane ops, a butterfly ~14); 'mx' moves the 128-point factor
-    of each transform onto the MXU as bf16 limb matmuls (kernels/mx_ntt.py)
-    leaving ~s_count VPU stages of the nb-point factor plus pointwise work.
+    is ~11 u32 lane ops, a butterfly ~14); 'mx'/'mx2' move the 128-point
+    factor of each transform onto the MXU as bf16 limb matmuls
+    (kernels/mx_ntt.py) leaving ~s_count VPU stages of the nb-point factor
+    plus pointwise work (mx2 restructures the sweep, same per-step math).
     """
     n, big_n, k = params.n, params.big_n, params.k
     l, l_lev, l_uni = params.l_gsw, params.l_lev, params.l_uni
@@ -66,14 +67,16 @@ def kms_cost(params, engine: str = "mx", nprimes: int = 3) -> BootstrapCost:
     inv_elems = 2 * nprimes * big_n * logn // 2
     pointwise = nprimes * big_n * (cpl * 2 + 2)
     glue = big_n * (10 * cpl + 30)  # decomp digits + Garner + u64 adds
-    if engine == "mx":
+    if engine in ("mx", "mx2"):
+        from ..kernels.fused_mx import _digit_split
+
         nb = big_n // 128
         s_count = int(math.log2(nb)) if nb > 1 else 0
         # VPU keeps: nb-point stages + twiddle + combine (~6 ops/elem) and
         # the pointwise/glue terms
         stage_elems = (cpl + 2) * nprimes * big_n * (s_count + 2) // 2
         vpu_step = stage_elems * 14 + pointwise * 11 + glue
-        nsplit = 1 if params.log_b_gsw <= 9 else 2
+        nsplit = _digit_split(params.log_b_gsw)
         mxu_step = nprimes * 128 * 128 * (
             cpl * nb * 4 * nsplit + 2 * nb * 16
         )
@@ -96,6 +99,58 @@ def kms_cost(params, engine: str = "mx", nprimes: int = 3) -> BootstrapCost:
         ntt_elems=(fwd_elems + inv_elems) * 2 * k * rows * n,
         vpu_ops=p1_vpu + p2_vpu,
         mxu_macs=p1_mxu + ks_macs,
+        hbm_bytes=brk_bytes,
+    )
+
+
+def lmss_cost(params, nprimes: int = 2) -> BootstrapCost:
+    """Per-gate cost of an LMSS block-binary bootstrap
+    (bootstrapping.jl:114-165): one decomposition + (k+1)*l forward
+    transforms per BLOCK (d blocks), ell monomial-weighted external
+    products accumulated in the evaluation domain, then k+1 inverses."""
+    big_n, k, l, d, ell = params.big_n, params.k, params.l_gsw, params.d, params.ell
+    logn = int(math.log2(big_n))
+    fwd = (k + 1) * l * nprimes * big_n * logn // 2
+    inv = (k + 1) * nprimes * big_n * logn // 2
+    # per member: external product (k+1)^2*l products + monomial weight
+    pointwise = ell * big_n * nprimes * ((k + 1) * (k + 1) * l + (k + 1))
+    per_block = (fwd + inv) * 14 + pointwise * 11 + big_n * 40
+    vpu = d * per_block
+    tail = k * big_n - d * ell  # coefficients beyond the free head
+    ks_macs = 4 * tail * params.f * (1 << (params.log_d - 1)) * (d * ell + 1)
+    brk_bytes = d * ell * (k + 1) * l * (k + 1) * nprimes * big_n * 4 * 2
+    return BootstrapCost(
+        ntt_elems=d * (fwd + inv) * 2,
+        vpu_ops=vpu,
+        mxu_macs=ks_macs,
+        hbm_bytes=brk_bytes,
+    )
+
+
+def ccs_cost(params, nprimes: int = 2) -> BootstrapCost:
+    """Per-gate cost of a CCS hybrid-product bootstrap
+    (bootstrapping.jl:234-328): for party index idx (1-based), each of n
+    steps decomposes idx+1 components (l digits each), forward-transforms
+    them twice (acc digits, then v digits), computes u/v/w pointwise, and
+    inverse-transforms v (idx+1) and the output (idx+1)."""
+    n, big_n, k, l = params.n, params.big_n, params.k, params.l_uni
+    logn = int(math.log2(big_n))
+    vpu = 0
+    ntt_elems = 0
+    for idx in range(1, k + 1):
+        comps = idx + 1
+        fwd = 2 * comps * l * nprimes * big_n * logn // 2  # acc + v digits
+        inv = 2 * comps * nprimes * big_n * logn // 2  # v + output
+        # u: comps*l products; v: comps*l; w: 2*comps*l (b and a rows)
+        pointwise = big_n * nprimes * (4 * comps * l + 2)
+        vpu += n * ((fwd + inv) * 14 + pointwise * 11 + big_n * 40)
+        ntt_elems += n * (fwd + inv) * 2
+    ks_macs = 4 * k * big_n * params.f * (1 << (params.log_d - 1)) * (n + 1)
+    brk_bytes = k * n * l * 3 * nprimes * big_n * 4 * 2  # d + f stacks
+    return BootstrapCost(
+        ntt_elems=ntt_elems,
+        vpu_ops=vpu,
+        mxu_macs=ks_macs,
         hbm_bytes=brk_bytes,
     )
 

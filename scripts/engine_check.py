@@ -86,6 +86,11 @@ def check_kms(params, tag, g=8):
     del bm_keys
     mx_keys = build_mx_kms_phase1([p[3] for p in parties], params)
     check(f"{tag} mx", bootstrap_mx(ct, scheme, mx_keys, params, g_tile=g), ref)
+    del mx_keys
+    from mktfhe_tpu.kernels.fused_mx2 import bootstrap_mx2, build_mx_kms_keys
+
+    mx2_keys = build_mx_kms_keys([p[3] for p in parties], params)
+    check(f"{tag} mx2", bootstrap_mx2(ct, scheme, mx2_keys, params, g_tile=g), ref)
 
 
 def main():

@@ -42,3 +42,35 @@ def test_cggi_bootstrap_golden():
     ct2 = lwe_encrypt_bit(jax.random.key(2), ~m, lwe_key, TINY.alpha, (4,))
     out = cggi.bootstrap(gate_affine(0, ct1, ct2), scheme, TINY)
     assert _digest(out.b, out.a) == "544bd48d5be989c3", _digest(out.b, out.a)
+
+
+def test_kms_mx2_bootstrap_golden():
+    """Pins the full KMS mx2-engine pipeline (decomp, mx-NTT, external
+    product, A*B monomial factors, Garner, phase 2, int8 key switch).
+    All KMS engines are bit-identical (tests/test_fused_mx2.py), so this
+    digest pins every engine's arithmetic at once."""
+    from mktfhe_tpu.kernels.fused_mx2 import bootstrap_mx2, build_mx_kms_keys
+    from mktfhe_tpu.schemes import kms
+    from mktfhe_tpu.schemes.gates import lwe_ith_encrypt_bit
+    from mktfhe_tpu.schemes.presets import TEST_PRESETS
+
+    params = TEST_PRESETS["TinyKMS2partyMX"]
+    a = kms.crs(jax.random.key(300), params)
+    parties = [
+        kms.party_keygen(jax.random.key(400 + i), a, params)
+        for i in range(params.k)
+    ]
+    scheme = kms.setup(a, [p[3] for p in parties], params)
+    mx_keys = build_mx_kms_keys([p[3] for p in parties], params)
+    m = jnp.array([True, False, True, True])
+    ct1 = lwe_ith_encrypt_bit(
+        jax.random.key(1), m, 0, parties[0][0], params.alpha, params.k, (4,)
+    )
+    ct2 = lwe_ith_encrypt_bit(
+        jax.random.key(2), ~m, 1, parties[1][0], params.alpha, params.k, (4,)
+    )
+    out = bootstrap_mx2(
+        gate_affine(0, ct1, ct2), scheme, mx_keys, params, interpret=True, g_tile=4
+    )
+    got = _digest(out.b, out.a)
+    assert got == "92d8cc645cbb9c54", got
