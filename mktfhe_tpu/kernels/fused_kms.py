@@ -180,7 +180,9 @@ def make_kms_step_kernel(params, ctx: RingCtx, iter_rows: int, g_tile: int, inte
         p = sc_ref[0, q]  # u32 scalar from SMEM
         ninv = sc_ref[1, q]
         ninv_sh = sc_ref[2, q]
-        pi32 = jax.lax.bitcast_convert_type(p, jnp.int32)
+        # NOTE: scalar bitcast is rejected by Mosaic ('tpu.bitcast' wants
+        # vectors); primes are < 2^31 so a value cast is bit-identical.
+        pi32 = p.astype(jnp.int32)
         # digits for this row's two components, [2][l] of [N, Gt] i32
         digs = [
             _decomp_pairs(acc_lo_ref[0, c], acc_hi_ref[0, c], l, log_b)

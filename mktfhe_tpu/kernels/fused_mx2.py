@@ -408,25 +408,31 @@ def build_mx_kms_keys(party_keys, params, chunk: int = 80) -> MxKmsKeys:
     n = params.n
 
     @jax.jit
-    def one_chunk(brk_c):  # [k, c, 2, l, 2, N] u64
-        hat = mx_fwd_ref(lift(brk_c, ctx.crt), plan)  # [k, c, 2, l, 2, npr, N]
-        kk, c, cin, l, cout = hat.shape[:5]
-        hat = jnp.transpose(hat, (0, 1, 5, 2, 3, 4, 6)).reshape(
-            kk, c, npr, cin * l, cout, ctx.n
+    def one_chunk(brk_c):  # [c, 2, l, 2, N] u64 (one party's bit chunk)
+        hat = mx_fwd_ref(lift(brk_c, ctx.crt), plan)  # [c, 2, l, 2, npr, N]
+        c, cin, l, cout = hat.shape[:4]
+        hat = jnp.transpose(hat, (0, 4, 1, 2, 3, 5)).reshape(
+            c, npr, cin * l, cout, ctx.n
         )
         p = jnp.asarray(np.asarray(plan.primes, np.uint64))[:, None, None, None]
         sh = ((hat.astype(jnp.uint64) << 32) // p).astype(U32)
         return hat, sh
 
-    brk_all = jnp.stack([pk.brk for pk in party_keys])  # [k, n, 2, l, 2, N]
+    # per-(party, bit-chunk) calls, dispatched WITHOUT per-party hard syncs
+    # (round 2 block_until_ready'd each party): the queue pipelines while
+    # per-call intermediates stay bounded by the chunk size.
     hats, shs = [], []
-    for c0 in range(0, n, chunk):
-        h, s = one_chunk(brk_all[:, c0 : c0 + chunk])
-        hats.append(h)
-        shs.append(s)
+    for pk in party_keys:
+        phs, pss = [], []
+        for c0 in range(0, n, chunk):
+            h, s = one_chunk(pk.brk[c0 : c0 + chunk])
+            phs.append(h)
+            pss.append(s)
+        hats.append(jnp.concatenate(phs, axis=0))
+        shs.append(jnp.concatenate(pss, axis=0))
     return MxKmsKeys(
-        brk_mx=jnp.concatenate(hats, axis=1),
-        brk_mx_shoup=jnp.concatenate(shs, axis=1),
+        brk_mx=jnp.stack(hats),
+        brk_mx_shoup=jnp.stack(shs),
     )
 
 

@@ -50,8 +50,6 @@ def check_cggi(g=8):
     ct = gate_affine(0, ct1, ct2)
     ref = cggi.bootstrap(ct, scheme, params)
 
-    check("cggi pallas_ntt", cggi.bootstrap(ct, scheme, params, pallas_ntt=True), ref)
-
     from mktfhe_tpu.kernels.batchminor import bootstrap_bm, convert_scheme
     from mktfhe_tpu.kernels.fused_step import bootstrap_fused
 

@@ -58,12 +58,10 @@ def main():
     )
 
     @jax.jit
-    def p1_once(ta):
-        return kms_phase1_mx2(
-            ta, mx_keys.brk_mx[1], mx_keys.brk_mx_shoup[1],
-            params.l_lev, params, ctx,
-        )
+    def p1_once_fn(ta, brk, brk_sh):
+        return kms_phase1_mx2(ta, brk, brk_sh, params.l_lev, params, ctx)
 
+    p1_once = lambda ta: p1_once_fn(ta, mx_keys.brk_mx[1], mx_keys.brk_mx_shoup[1])
     out = p1_once(tildea)
     np.asarray(out)  # compile + hard fetch
     reps = 4
