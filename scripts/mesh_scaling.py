@@ -48,7 +48,10 @@ def measure(params, n_party, n_batch, g, reps=3):
     sh = shard_scheme(scheme, mesh)
     out = kms_bootstrap_shardmap(ct, sh, params, mesh)
     ref = kms.bootstrap(ct, scheme, params)
-    ok = bool(np.array_equal(np.asarray(out.b), np.asarray(ref.b)))
+    ok = bool(
+        np.array_equal(np.asarray(out.b), np.asarray(ref.b))
+        and np.array_equal(np.asarray(out.a), np.asarray(ref.a))
+    )
     t0 = time.time()
     for _ in range(reps):
         out = kms_bootstrap_shardmap(ct, sh, params, mesh)
