@@ -1,0 +1,654 @@
+"""mx3: 2-prime truncated-key whole-rotation phase-1 kernel.
+
+Round 3's mx2 engine (fused_mx2.py) removed the per-step launch and HBM
+round-trip costs but still ran at ~1.4 ms per CMux step on a v5e --
+an xprof trace (PERF.md, round 4) shows the sweep kernel alone is 93% of
+the KMS8 bootstrap.  Two structural costs remain in mx2:
+
+  * exact mod-2^64 arithmetic needs 3 CRT primes (conv bound
+    N * 2^8 * 2^64 = 2^83), so every transform/product runs 3x;
+  * the twiddle-folded per-(b', step) 128x128x128 matmuls (9216 per
+    step at KMS8) are far too small to feed the MXU, and the fori_loop
+    glue serializes them.
+
+This engine restructures both, trading *provably negligible* noise for a
+~3x work cut:
+
+  1. **Truncated bootstrapping keys (2 CRT primes).**  brk torus values
+     are rounded to their top 41 bits and balanced-centered:
+     vc = round(brk / 2^23) - 2^41*[v >= 2^40], |vc| <= 2^40.  The
+     per-step contribution becomes ((X^a-1) * sum_j d_j * vc_j) * 2^23
+     mod 2^64 -- the centering multiples (2^41 * 2^23 = 2^64) vanish mod
+     2^64, so this EQUALS the exact engine run on the truncated key
+     brk' = vc * 2^23 mod 2^64 (the bit-exact test oracle,
+     tests/test_fused_mx3.py).  Against the *true* key the extra noise is
+     the rounding error (std 2^23/sqrt(12)) carried through the rotation:
+     analytically ~+2-4% output noise std at KMS8 vs a 17.3 sigma margin
+     (empirical margin row: scripts/preset_margins.py / MARGINS.md).  The reference accepts the same kind of error from
+     its Float64 FFT (/root/reference/README.md:9).  Convolution values
+     now bound by cpl*N*2^8*2^40 ~ 2^62-sigma-tails; with balanced
+     centering the value std is ~2^54, 34 sigma below the 2-prime CRT
+     capacity of +-2^59 (Hoeffding tail < e^-128 per coefficient).
+  2. **Shared forward matrix + twisted-table stages.**  mx2 folded the
+     twiddle T[b',k1] into per-b' matrices, forcing one matmul per b'.
+     Here the 128-point stage uses ONE matrix M (per prime, per limb)
+     over all (row, digit, b', gate) columns, and the twist moves into
+     per-k1 twiddle *tables* for the nb-point CT stages
+     (w[e=mlen+blk, k1] = c_k1^h * Omega^(h*brv(blk)), h = nb/(2 mlen),
+     c_k1 = psi^(2k1+1), Omega = psi^(2*128)): same butterfly count, no
+     separate twiddle pass.  Validated in scripts/check_twisted_stages.py.
+  3. **First/last stage absorbed into the matmuls.**  The first CT stage
+     pairs (b, b+nb/2) with a single k1-vector twiddle w1; using two
+     matrix variants (M, diag(w1) M) the butterfly happens on the f32
+     limb outputs (exact, |sum| < 2^23) -- one VPU stage eliminated.
+     Mirror on the inverse: the last GS stage's twiddle and the 1/nb
+     scale fold into two inverse-matrix variants (C' = ninv*C,
+     Cw' = ninv*C*diag(w)).
+  4. **Column-batched matmuls.**  Forward contraction runs over one
+     row's 2l*gt digit columns at a time ([128,128]@[128,1024] per
+     (prime, row, b', limb) at g_tile=128); inverse over one cout's
+     rows*gt columns ([128,512]@[512,384]).  ~1000 MXU-shaped matmuls
+     per step instead of mx2's 9216 serialized 128-column ones, with
+     the VMEM working set held to one (row, cout) slice.
+
+Counterpart of the reference's per-party `phase_1`
+(/root/reference/src/tfhe/bootstrapping.jl:389-443); factorization docs
+in mx_ntt.py; trace-driven attribution in PERF.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ring.context import RingCtx, make_ring_ctx
+from ..ring.modring import shoup, _root_of_unity
+from .fused_kms import _decomp_pairs, _pair_add
+from .fused_mx import _cond_sub, _digit_split, _shoup_lazy
+from .fused_mx2 import _bitrev_int, mono_factor_tables, _gather_mono_factors
+from .mx_ntt import NK, MxPlan, from_mx_order, mx_plan
+from .ntt_pallas import _mulhi, x32_trace
+
+U32 = jnp.uint32
+
+TRUNC_BITS = 23  # brk values rounded to their top 64-23 = 41 bits
+
+
+@functools.lru_cache(maxsize=None)
+def twisted_stage_tables(n: int, nprimes: int):
+    """Per-k1 twisted CT/GS stage tables (host numpy).
+
+    Returns (tf, tf_sh, ti, ti_sh), each [npr, nb, NK] u32; entry
+    e = mlen+blk of the fwd DIT loop / h+blk of the inv GS loop.
+    tf[e, k1] = c^h * Omega^(h*brv_lb(blk)), c = psi^(2k1+1),
+    Omega = psi^(2*NK), h = nb/(2*mlen); ti = elementwise inverse.
+    Entry 0 is unused.  Validated in scripts/check_twisted_stages.py.
+    """
+    plan = mx_plan(n, nprimes)
+    nb = plan.nb
+    tfs, tf_shs, tis, ti_shs = [], [], [], []
+    for p in [int(x) for x in plan.primes]:
+        psi = _root_of_unity(p, 2 * n)
+        om = pow(psi, 2 * NK, p)
+        tf = np.zeros((max(nb, 1), NK), dtype=np.uint64)
+        ti = np.zeros_like(tf)
+        for k1 in range(NK):
+            c = pow(psi, 2 * k1 + 1, p)
+            mlen = 1
+            while mlen < nb:
+                h = nb // (2 * mlen)
+                lb = mlen.bit_length() - 1
+                ch = pow(c, h, p)
+                for blk in range(mlen):
+                    e = mlen + blk
+                    w = (ch * pow(om, h * _bitrev_int(blk, lb), p)) % p
+                    tf[e, k1] = w
+                    ti[e, k1] = pow(int(w), -1, p)
+                mlen *= 2
+        sh = lambda t: np.vectorize(lambda w: shoup(int(w), p) if w else 0)(
+            t
+        ).astype(np.uint32)
+        tfs.append(tf.astype(np.uint32))
+        tf_shs.append(sh(tf))
+        tis.append(ti.astype(np.uint32))
+        ti_shs.append(sh(ti))
+    return np.stack(tfs), np.stack(tf_shs), np.stack(tis), np.stack(ti_shs)
+
+
+def _limbs_balanced(mat, count=4):
+    out = []
+    rem = mat.astype(object).copy()
+    for _ in range(count):
+        d = ((rem + 128) % 256) - 128
+        out.append(d.astype(np.float32))
+        rem = (rem - d) // 256
+    assert np.all(rem == 0), "limb count too small"
+    return np.stack(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _mx3_matrices(n: int, nprimes: int):
+    """Forward/inverse matrix variants with stage-1 / last-stage absorbed.
+
+    fmat [npr, 2, 4, NK, NK] bf16-able f32: variant 0 = M, variant 1 =
+    diag(w1) M (w1 = fwd stage-1 twiddle; identity when nb == 1).
+    imat [npr, 2, 4, NK, 4*NK]: variant 0 = ninv*C with data-limb shifts
+    folded ([i] = concat_j limbs_i(2^(8j) ninv C)), variant 1 likewise
+    for ninv*C*diag(w_inv1).
+    """
+    plan = mx_plan(n, nprimes)
+    nb = plan.nb
+    tf, _, ti, _ = twisted_stage_tables(n, nprimes)
+    fmats, imats = [], []
+    for q, p in enumerate([int(x) for x in plan.primes]):
+        m = plan.fwd_mat[q].astype(object)  # [k1, a']
+        c = plan.inv_mat[q].astype(object)  # [a', k1]
+        ninv = pow(nb, -1, p) if nb > 1 else 1
+        variants_f, variants_i = [m], [(c * ninv) % p]
+        if nb > 1:
+            w1 = tf[q, 1].astype(object)  # [k1]
+            wi1 = ti[q, 1].astype(object)
+            variants_f.append((w1[:, None] * m) % p)
+            variants_i.append((c * wi1[None, :] * ninv) % p)
+        else:
+            variants_f.append(m)
+            variants_i.append((c * ninv) % p)
+        fm = np.stack([_limbs_balanced(v) for v in variants_f])  # [2,4,NK,NK]
+        im = []
+        for v in variants_i:
+            per_i = []
+            for i in range(4):
+                segs = []
+                for j in range(4):
+                    vj = (v * pow(2, 8 * j, p)) % p
+                    segs.append(_limbs_balanced(vj)[i])
+                per_i.append(np.concatenate(segs, axis=1))  # [NK, 4NK]
+            im.append(np.stack(per_i))
+        imats.append((fm, np.stack(im)))
+    fmat = np.stack([f for f, _ in imats])
+    imat = np.stack([i for _, i in imats])
+    return fmat, imat
+
+
+def _combine_fwd(ss, p: int):
+    """4 f32 limb matmul outputs -> u32 value < 4p (as fused_mx2)."""
+    pp = U32(p)
+    two_p = U32(2 * p)
+    r16 = (1 << 16) % p
+    r16_sh = shoup(r16, p)
+    c2p = int(np.array(2 * p, np.uint32).view(np.int32))
+    s = [x.astype(jnp.int32) for x in ss]
+    t01 = s[0] + (s[1] << 8)
+    t23 = s[2] + (s[3] << 8)
+    up = jax.lax.bitcast_convert_type(t23 + c2p, U32)
+    m = _shoup_lazy(U32(r16), U32(r16_sh), up, pp)  # < 2p
+    tp = jax.lax.bitcast_convert_type(t01 + c2p, U32)
+    tp = _cond_sub(tp, two_p)  # < 2p
+    return tp + m  # < 4p
+
+
+def _combine_inv(ss, p: int):
+    """4 f32 limb matmul outputs -> canonical u32 residue < p."""
+    pp = U32(p)
+    two_p = U32(2 * p)
+    v = _combine_fwd(ss, p)  # < 4p
+    v = _cond_sub(v, two_p)
+    v = _cond_sub(v, pp)
+    return _cond_sub(v, pp)
+
+
+def _split4_bf16(v):
+    """Canonical u32 residue (< p < 2^30) -> 4 balanced base-256 bf16."""
+    vi = jax.lax.bitcast_convert_type(v, jnp.int32)
+    limbs = []
+    for _ in range(4):
+        d0 = ((vi + 128) & 255) - 128
+        limbs.append(d0.astype(jnp.bfloat16))
+        vi = (vi - d0) >> 8
+    return limbs
+
+
+def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_tile: int, interpret: bool):
+    """Build sweep(acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh).
+
+    Same contract as fused_mx2.make_mx_sweep_kernel but with the mx3
+    internals; ctx must be the 2-prime truncated-key ring context and brk
+    the mx-domain residues of the centered truncated key.
+    """
+    n = ctx.n
+    npr = ctx.nprimes
+    plan = mx_plan(n, npr)
+    nb = plan.nb
+    half = nb // 2
+    l, log_b = params.l_gsw, params.log_b_gsw
+    cpl = 2 * l
+    assert _digit_split(log_b) == 1, "mx3 assumes log_b <= 9 (one bf16 digit)"
+    primes = [int(p) for p in plan.primes]
+
+    fmat_np, imat_np = _mx3_matrices(n, npr)
+    fmat = jnp.asarray(fmat_np, jnp.bfloat16)  # [npr, 2, 4, NK, NK]
+    imat = jnp.asarray(imat_np, jnp.bfloat16)  # [npr, 2, 4, NK, 4NK]
+    tf, tf_sh, ti, ti_sh = (jnp.asarray(t) for t in twisted_stage_tables(n, npr))
+
+    rows = iter_rows
+    fcols = rows * cpl * g_tile  # decomposition-digit columns
+    icols = 2 * rows * g_tile  # inverse columns (couts x rows)
+
+    def fwd_stages(ref, tf_ref, tfsh_ref, q: int, p: int):
+        """Twisted CT stages from stage 2 (mlen=2) on ref [nb, NK, fcols];
+        input < 4p in (stage-1-absorbed combine), output canonical-ish
+        < 2p (mirrors fused_mx._fwd_ct_stages laziness)."""
+        two_p = U32(2 * p)
+        pp = U32(p)
+        mlen, t = 2, half
+        while mlen < nb:
+            t //= 2
+            for blk in range(mlen):
+                e = mlen + blk
+                w = tf_ref[q, e][None, :, None]
+                w_sh = tfsh_ref[q, e][None, :, None]
+                base = 2 * blk * t
+                u = ref[base : base + t]
+                v = ref[base + t : base + 2 * t]
+                u = _cond_sub(u, two_p)  # < 2p
+                vw = _shoup_lazy(w, w_sh, v, pp)  # < 2p (any u32 in)
+                ref[base : base + t] = u + vw  # < 4p
+                ref[base + t : base + 2 * t] = u + (two_p - vw)  # < 4p
+            mlen *= 2
+        x = ref[...]
+        x = _cond_sub(_cond_sub(x, two_p), two_p)
+        ref[...] = _cond_sub(x, two_p)  # < 2p
+
+    def inv_stages(ref, ti_ref, tish_ref, q: int, p: int):
+        """GS stages up to (excluding) the last, on ref [nb, NK, icols];
+        < 2p in / < 2p out."""
+        two_p = U32(2 * p)
+        pp = U32(p)
+        t, mlen = 1, nb
+        while mlen > 2:
+            h = mlen // 2
+            for blk in range(h):
+                e = h + blk
+                w = ti_ref[q, e][None, :, None]
+                w_sh = tish_ref[q, e][None, :, None]
+                base = 2 * blk * t
+                u = ref[base : base + t]
+                v = ref[base + t : base + 2 * t]
+                hi = _cond_sub(u + v, two_p)  # < 2p
+                d = u + (two_p - v)  # < 4p
+                lo = _shoup_lazy(w, w_sh, d, pp)  # < 2p
+                ref[base : base + t] = hi
+                ref[base + t : base + 2 * t] = lo
+            t *= 2
+            mlen = h
+
+    def kernel(fmat_ref, imat_ref, tf_ref, tfsh_ref, ti_ref, tish_ref,
+               acc_lo_ref, acc_hi_ref, brk_ref, brks_ref,
+               a_ref, as_ref, b_ref, bs_ref,
+               out_lo_ref, out_hi_ref,
+               dig_ref, what_ref, est_ref, limb_ref, e_ref,
+               wrk_lo_ref, wrk_hi_ref):
+        s = pl.program_id(1)
+        gt = g_tile
+
+        @pl.when(s == 0)
+        def _init():
+            wrk_lo_ref[...] = acc_lo_ref[...]
+            wrk_hi_ref[...] = acc_hi_ref[...]
+
+        for q in range(npr):  # static prime loop
+            p = primes[q]
+            pp = U32(p)
+            two_p = U32(2 * p)
+
+            # ── per row: decompose (recomputed per prime to keep the digit
+            # scratch one row wide), forward (stage-1-absorbed matmuls +
+            # twisted stages), then external product + (A*B-1) monomial.
+            # Each matmul combines to u32 first (limb sums |s| <= 2^22, so
+            # t01 <= 2^22 + 2^30 fits i32), then butterflies lazily in u32.
+            for r in range(rows):
+                for c in range(2):
+                    digs = _decomp_pairs(wrk_lo_ref[r, c], wrk_hi_ref[r, c], l, log_b)
+                    for lev in range(l):
+                        col = (c * l + lev) * gt
+                        dig_ref[:, :, col : col + gt] = digs[lev].astype(jnp.bfloat16)
+                if nb > 1:
+                    for b in range(half):
+                        s0, s1 = [], []
+                        for i in range(4):
+                            s0.append(jax.lax.dot_general(
+                                fmat_ref[q, 0, i], dig_ref[b],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ))
+                            s1.append(jax.lax.dot_general(
+                                fmat_ref[q, 1, i], dig_ref[b + half],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ))
+                        a2 = _cond_sub(_combine_fwd(s0, p), two_p)  # < 2p
+                        b2 = _cond_sub(_combine_fwd(s1, p), two_p)  # < 2p
+                        what_ref[b] = a2 + b2  # < 4p (stages tolerate)
+                        what_ref[b + half] = a2 + (two_p - b2)  # < 4p
+                    fwd_stages(what_ref, tf_ref, tfsh_ref, q, p)
+                else:
+                    ss = []
+                    for i in range(4):
+                        ss.append(jax.lax.dot_general(
+                            fmat_ref[q, 0, i], dig_ref[0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                    what_ref[0] = _cond_sub(_combine_fwd(ss, p), two_p)  # < 2p
+
+                for cout in range(2):
+                    eh = None
+                    for j in range(cpl):
+                        col = j * gt
+                        w = brk_ref[0, q, j, cout][:, :, None]
+                        w_sh = brks_ref[0, q, j, cout][:, :, None]
+                        prod = _shoup_lazy(w, w_sh, what_ref[:, :, col : col + gt], pp)
+                        eh = prod if eh is None else _cond_sub(eh + prod, two_p)
+                    av = a_ref[0, q][None]  # [1, NK, gt]
+                    avs = as_ref[0, q][None]
+                    bv = b_ref[0, q][:, None]  # [nb, 1, gt]
+                    bvs = bs_ref[0, q][:, None]
+                    t1 = _shoup_lazy(av, avs, eh, pp)  # < 2p
+                    t2 = _shoup_lazy(bv, bvs, t1, pp)  # < 2p
+                    ocol = (cout * rows + r) * gt
+                    est_ref[:, :, ocol : ocol + gt] = _cond_sub(
+                        t2 + (two_p - eh), two_p
+                    )  # < 2p
+
+            # ── inverse: stages, then per cout: last stage fold + limb
+            # split + matmuls (cout-chunked to halve the limb scratch) ──
+            if nb > 1:
+                inv_stages(est_ref, ti_ref, tish_ref, q, p)
+            rg = rows * gt
+            for cout in range(2):
+                cc = cout * rg
+                if nb > 1:
+                    for b in range(half):
+                        u = est_ref[b][:, cc : cc + rg]
+                        v = est_ref[b + half][:, cc : cc + rg]
+                        s_ = _cond_sub(_cond_sub(u + v, two_p), pp)  # < p
+                        d_ = _cond_sub(_cond_sub(u + (two_p - v), two_p), pp)
+                        ls = _split4_bf16(s_)
+                        ld = _split4_bf16(d_)
+                        for i in range(4):
+                            limb_ref[b, i * NK : (i + 1) * NK] = ls[i]
+                            limb_ref[b + half, i * NK : (i + 1) * NK] = ld[i]
+                else:
+                    v = _cond_sub(est_ref[0][:, cc : cc + rg], pp)
+                    ls = _split4_bf16(v)
+                    for i in range(4):
+                        limb_ref[0, i * NK : (i + 1) * NK] = ls[i]
+                for b in range(nb):
+                    var = 0 if (nb == 1 or b < half) else 1
+                    ss = []
+                    for i in range(4):
+                        ss.append(jax.lax.dot_general(
+                            imat_ref[q, var, i], limb_ref[b],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                    e_ref[q, b, :, cc : cc + rg] = _combine_inv(ss, p)  # < p
+
+        # ── 2-prime Garner, balanced center, << TRUNC_BITS, accumulate ──
+        p0, p1_ = primes[0], primes[1]
+        w01 = pow(p0, -1, p1_)
+        w01_sh = shoup(w01, p1_)
+        pq = U32(p1_)
+        half_mod = (p0 * p1_) // 2
+        mlo, mhi = p0 * p1_ & 0xFFFFFFFF, (p0 * p1_) >> 32
+        hlo, hhi = half_mod & 0xFFFFFFFF, half_mod >> 32
+        for cout in range(2):
+            for r in range(rows):
+                col = (cout * rows + r) * gt
+                t0 = e_ref[0, :, :, col : col + gt]  # < p0
+                u = e_ref[1, :, :, col : col + gt]  # < p1
+                t0m = jnp.where(t0 >= pq, t0 - pq, t0)
+                d = u + (pq - t0m)
+                d = jnp.where(d >= pq, d - pq, d)
+                d = _shoup_lazy(U32(w01), U32(w01_sh), d, pq)
+                d = _cond_sub(d, pq)  # canonical digit < p1
+                # V = t0 + p0 * d  (u64 pair)
+                prod_lo = U32(p0) * d
+                prod_hi = _mulhi(U32(p0), d)
+                vlo = t0 + prod_lo
+                vhi = prod_hi + (vlo < t0).astype(U32)
+                # balanced center: V -= P2 when V >= P2/2
+                ge = (vhi > U32(hhi)) | ((vhi == U32(hhi)) & (vlo >= U32(hlo)))
+                slo = vlo - U32(mlo)
+                shi = vhi - U32(mhi) - (vlo < U32(mlo)).astype(U32)
+                vlo = jnp.where(ge, slo, vlo)
+                vhi = jnp.where(ge, shi, vhi)
+                # << TRUNC_BITS (mod 2^64)
+                sh = TRUNC_BITS
+                nlo = vlo << sh
+                nhi = (vhi << sh) | (vlo >> (32 - sh))
+                alo, ahi = _pair_add(
+                    wrk_lo_ref[r, cout], wrk_hi_ref[r, cout], nlo, nhi
+                )
+                wrk_lo_ref[r, cout] = alo
+                wrk_hi_ref[r, cout] = ahi
+
+        @pl.when(s == n_steps - 1)
+        def _flush():
+            out_lo_ref[...] = wrk_lo_ref[...]
+            out_hi_ref[...] = wrk_hi_ref[...]
+
+    def sweep(acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh):
+        g = acc_lo.shape[-1]
+        gt = min(g, g_tile)
+        assert g % gt == 0
+        acc_shape = (rows, 2, nb, NK, gt)
+        return x32_trace(pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(acc_lo.shape, U32),
+                jax.ShapeDtypeStruct(acc_hi.shape, U32),
+            ),
+            grid=(g // gt, n_steps),
+            in_specs=[
+                pl.BlockSpec(fmat.shape, lambda b, s: (0,) * 5, memory_space=pltpu.VMEM),
+                pl.BlockSpec(imat.shape, lambda b, s: (0,) * 5, memory_space=pltpu.VMEM),
+                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npr, NK, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npr, NK, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npr, nb, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, npr, nb, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nb, NK, cpl * g_tile), jnp.bfloat16),  # dig (one row)
+                pltpu.VMEM((nb, NK, cpl * g_tile), U32),  # what (per row)
+                pltpu.VMEM((nb, NK, icols), U32),  # est (inverse staging)
+                pltpu.VMEM((nb, 4 * NK, rows * g_tile), jnp.bfloat16),  # inv limbs (one cout)
+                pltpu.VMEM((npr, nb, NK, icols), U32),  # e residues
+                pltpu.VMEM(acc_shape, U32),  # resident acc lo
+                pltpu.VMEM(acc_shape, U32),  # resident acc hi
+            ],
+            input_output_aliases={6: 0, 7: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=116 * 1024 * 1024
+            ),
+            interpret=interpret,
+        ))(fmat, imat, tf, tf_sh, ti, ti_sh,
+           acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh)
+
+    return sweep
+
+
+# ─── key material & driver ────────────────────────────────────────────────
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Mx3KmsKeys:
+    """KMS phase-1 keys: mx-domain residues of the balanced-centered
+    truncated brk (2 primes).  brk_mx: [k, n, 2, 2l, 2, N] u32 (+ shoup)."""
+
+    brk_mx: jnp.ndarray
+    brk_mx_shoup: jnp.ndarray
+
+
+def truncate_brk(brk):
+    """Torus u64 -> truncated key brk' = round(brk / 2^23) * 2^23 mod 2^64.
+
+    The mx3 kernel is bit-identical to the exact engines run on this key
+    (the test oracle); vs the true key it adds ~+2% output noise std."""
+    v = (brk + jnp.uint64(1 << (TRUNC_BITS - 1))) >> jnp.uint64(TRUNC_BITS)
+    return v << jnp.uint64(TRUNC_BITS)
+
+
+def mx3_nprimes() -> int:
+    return 2
+
+
+def build_mx3_kms_keys(party_keys, params, chunk: int = 80) -> Mx3KmsKeys:
+    """Truncate + center brk and transform to the 2-prime mx domain."""
+    from .mx_ntt import mx_fwd_ref
+
+    from ..ring.torus import lift
+
+    npr = mx3_nprimes()
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
+    plan = mx_plan(ctx.n, npr)
+    n = params.n
+    primes = jnp.asarray(np.asarray(plan.primes, np.uint64))
+    t_bits = 64 - TRUNC_BITS
+    corr_np = np.array(
+        [(1 << t_bits) % int(p) for p in plan.primes], dtype=np.uint32
+    )
+
+    @jax.jit
+    def one_chunk(brk_c):  # [c, 2, l, 2, N] u64
+        v = (brk_c + jnp.uint64(1 << (TRUNC_BITS - 1))) >> jnp.uint64(TRUNC_BITS)
+        neg = v >= jnp.uint64(1 << (t_bits - 1))
+        # residues of the centered value vc = v - 2^t_bits * neg
+        res = lift(v, ctx.crt)  # [c,2,l,2,npr,N] u32
+        pu = jnp.asarray(np.asarray(plan.primes, np.uint32))[:, None]
+        corr = jnp.asarray(corr_np)[:, None]
+        res = jnp.where(
+            neg[..., None, :],
+            jnp.where(res >= corr, res - corr, res + pu - corr),
+            res,
+        )
+        hat = mx_fwd_ref(res, plan)  # [c, 2, l, 2, npr, N]
+        c, cin, l, cout = hat.shape[:4]
+        hat = jnp.transpose(hat, (0, 4, 1, 2, 3, 5)).reshape(
+            c, npr, cin * l, cout, ctx.n
+        )
+        p = primes[:, None, None, None]
+        sh = ((hat.astype(jnp.uint64) << 32) // p).astype(U32)
+        return hat, sh
+
+    hats, shs = [], []
+    for pk in party_keys:
+        phs, pss = [], []
+        for c0 in range(0, n, chunk):
+            h, s = one_chunk(pk.brk[c0 : c0 + chunk])
+            phs.append(h)
+            pss.append(s)
+        hats.append(jnp.concatenate(phs, axis=0))
+        shs.append(jnp.concatenate(pss, axis=0))
+    return Mx3KmsKeys(brk_mx=jnp.stack(hats), brk_mx_shoup=jnp.stack(shs))
+
+
+def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: RingCtx, g_tile: int = 128, interpret: bool = False):
+    """mx3 KMS phase 1 for one party (same contract as kms_phase1_mx2).
+
+    Bit-identical to kms.phase1 run on truncate_brk'd keys
+    (tests/test_fused_mx3.py)."""
+    from ..ciphertext.rlwe import gadget_gvec
+    from ..ring.ntt import fwd_ntt
+    from ..ring.torus import lift
+
+    npr = mx3_nprimes()
+    ctx_p = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
+    plan = mx_plan(ctx_p.n, npr)
+    nb = plan.nb
+    g = tildea_p.shape[0]
+    n = params.big_n
+    n_steps = tildea_p.shape[1]
+
+    gvec = gadget_gvec(params.l_lev, params.log_b_lev, ctx_p.dtype)[:iter_rows]
+    acc_lo = jnp.zeros((iter_rows, 2, nb, NK, g), dtype=U32)
+    acc_hi = jnp.zeros((iter_rows, 2, nb, NK, g), dtype=U32)
+    acc_lo = acc_lo.at[:, 0, 0, 0, :].set((gvec & jnp.uint64(0xFFFFFFFF)).astype(U32)[:, None])
+    acc_hi = acc_hi.at[:, 0, 0, 0, :].set((gvec >> 32).astype(U32)[:, None])
+
+    brk_steps = brk_p.reshape(n_steps, npr, -1, 2, nb, NK)
+    brk_sh_steps = brk_sh_p.reshape(*brk_steps.shape)
+    a_fac, a_sh, b_fac, b_sh = _gather_mono_factors(
+        tildea_p.astype(jnp.int32), n, npr
+    )
+
+    sweep = make_mx3_sweep_kernel(params, ctx_p, iter_rows, n_steps, g_tile, interpret)
+    acc_lo, acc_hi = sweep(
+        acc_lo, acc_hi, brk_steps, brk_sh_steps, a_fac, a_sh, b_fac, b_sh
+    )
+    acc = acc_lo.astype(jnp.uint64) | (acc_hi.astype(jnp.uint64) << 32)
+    acc = from_mx_order(acc.reshape(iter_rows, 2, n, g).swapaxes(-1, -2), nb)
+    acc_std = jnp.transpose(acc, (2, 0, 1, 3))  # [G, rows, 2, N]
+    return fwd_ntt(lift(acc_std, out_ctx.crt), out_ctx.plan)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "pallas_ntt", "g_tile"))
+def bootstrap_mx3(ct, scheme, mx_keys: Mx3KmsKeys, params, interpret: bool = False, pallas_ntt: bool = True, g_tile: int = 128):
+    """KMS bootstrap with the mx3 phase-1 engine (phase 2 / key switch as
+    in schemes.kms)."""
+    from ..schemes.common import initial_acc, mod_switch_2n
+    from ..schemes.kms import _ctx, _keyswitch, _phase2_party
+    from ..schemes.params import KmsBlockParams
+
+    assert not isinstance(params, KmsBlockParams), (
+        "the mx3 phase-1 kernel implements the binary-key rotation"
+    )
+    ctx = _ctx(params)
+    k = params.k
+    tildeb, tildea = mod_switch_2n(ct, params.big_n)
+    g = tildea.shape[0]
+    tild = jnp.moveaxis(tildea.reshape(g, k, params.n), 1, 0)  # [k, G, n]
+
+    lev0 = kms_phase1_mx3(
+        tild[0], mx_keys.brk_mx[0], mx_keys.brk_mx_shoup[0],
+        1, params, ctx, g_tile=g_tile, interpret=interpret,
+    )
+    if k > 1:
+        lev_rest = jax.lax.map(
+            lambda xs: kms_phase1_mx3(
+                xs[0], xs[1], xs[2], params.l_lev, params, ctx,
+                g_tile=g_tile, interpret=interpret,
+            ),
+            (tild[1:], mx_keys.brk_mx[1:], mx_keys.brk_mx_shoup[1:]),
+        )
+        levkeys = [lev0] + [lev_rest[i] for i in range(k - 1)]
+    else:
+        levkeys = [lev0]
+
+    acc = initial_acc(tildeb, params.big_n, k, ctx.dtype)
+    for p1 in range(1, k + 1):
+        iter_rows = 1 if p1 == 1 else params.l_lev
+        acc = _phase2_party(
+            acc, levkeys[p1 - 1][:, :iter_rows], p1, scheme, params, ctx,
+            pallas_ntt=pallas_ntt, interpret=interpret,
+        )
+    return _keyswitch(acc, scheme, params)

@@ -54,6 +54,11 @@ def check_cggi(g=8):
     from mktfhe_tpu.kernels.fused_step import bootstrap_fused
 
     bm = convert_scheme(scheme, params)
+    # NOTE: there is no separate 'cggi pallas_ntt' check anymore: CGGI's
+    # jnp driver stopped taking a pallas_ntt flag when the batch-minor and
+    # fused-step engines became the only Pallas paths for CGGI; the Pallas
+    # NTT kernels themselves are covered on-chip transitively by the
+    # lmss/ccs/kms pallas_ntt checks below (same kernels, same layouts).
     check("cggi batch-minor", bootstrap_bm(ct, bm, params), ref)
     check("cggi fused-step", bootstrap_fused(ct, bm, params), ref)
 

@@ -31,9 +31,10 @@ from mktfhe_tpu.schemes.presets import ALL_PRESETS  # noqa: E402
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    g = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    args = [a for a in sys.argv[1:] if a != "trace"]
     do_trace = "trace" in sys.argv[1:]
+    k = int(args[0]) if len(args) > 0 else 8
+    g = int(args[1]) if len(args) > 1 else 128
     params = ALL_PRESETS[f"KMS{k}party"]
     ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
 

@@ -126,3 +126,26 @@ def test_mx2_bootstrap_bit_identical():
     got = bootstrap_mx2(ct, scheme, mx_keys, params, interpret=True, g_tile=4)
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
     np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+
+
+def test_mono_factorization_matches_table_nb2():
+    """nb=2 (N=256): covers the B-factor/bitrev half of the A*B monomial
+    factorization, degenerate at N=128 (advisor round 3, finding 1)."""
+    from mktfhe_tpu.kernels.fused_mx import mx_mono_table
+    from mktfhe_tpu.kernels.mx_ntt import NK, mx_plan
+
+    ctx = make_ring_ctx(256, 64, 3)
+    plan = mx_plan(ctx.n, ctx.nprimes)
+    nb = plan.nb
+    assert nb == 2
+    mono, _sh = mx_mono_table(ctx)  # [2N, npr, N]
+    a_tab, _, b_tab, _ = mono_factor_tables(ctx.n, ctx.nprimes)
+    primes = np.asarray(plan.primes, np.uint64)
+    for a in [0, 1, 5, 129, 255, 256, 300, 511]:
+        prod = (
+            a_tab[:, a].astype(np.uint64)[:, None, :]
+            * b_tab[:, a].astype(np.uint64)[:, :, None]
+        ) % primes[:, None, None]  # [npr, nb, NK]
+        want = (prod + primes[:, None, None] - 1) % primes[:, None, None]
+        got = np.asarray(mono[a]).reshape(ctx.nprimes, nb, NK)
+        np.testing.assert_array_equal(got, want.astype(np.uint32))

@@ -1,0 +1,129 @@
+"""mx3 (2-prime truncated-key) phase-1 engine tests.
+
+The mx3 kernel is bit-identical to the exact jnp engine run on the
+truncated key brk' = truncate_brk(brk) (see fused_mx3.py docstring): the
+balanced-centering multiples are == 0 mod 2^64, and at tiny parameters
+the 2-prime CRT capacity bound (cpl*N*2^7*2^41 < 2^59) holds
+deterministically, so these comparisons are exact, not statistical.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mktfhe_tpu.kernels.fused_mx3 import (
+    bootstrap_mx3,
+    build_mx3_kms_keys,
+    kms_phase1_mx3,
+    truncate_brk,
+)
+from mktfhe_tpu.ring.context import make_ring_ctx
+from mktfhe_tpu.schemes import kms
+from mktfhe_tpu.schemes.gates import gate_affine, lwe_ith_encrypt_bit
+from mktfhe_tpu.schemes.presets import TINY_KMS_2PARTY_MX as TINYMX
+
+# N=256 variant: nb=2, the smallest ring exercising the absorbed
+# first/last stage (matrix-variant) path.
+TINYMX2 = dataclasses.replace(TINYMX, big_n=256)
+
+
+def _setup(params):
+    a = kms.crs(jax.random.key(300), params)
+    parties = [
+        kms.party_keygen(jax.random.key(400 + i), a, params) for i in range(params.k)
+    ]
+    # oracle scheme: same keys but brk truncated like the mx3 engine
+    trunc_parties = [
+        p[:3] + (p[3]._replace(brk=truncate_brk(p[3].brk)),) for p in parties
+    ]
+    scheme_t = kms.setup(a, [p[3] for p in trunc_parties], params)
+    return params, a, parties, scheme_t
+
+
+def _phase1_cases(params):
+    _, a, parties, scheme_t = _setup(params)
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+    rng = np.random.default_rng(3)
+    g = 4
+    tildea_p = jnp.asarray(
+        rng.integers(0, 2 * params.big_n, size=(g, params.n), dtype=np.int64
+        ).astype(np.int32)
+    )
+    for party, rows in [(0, 1), (1, params.l_lev)]:
+        ref = kms.phase1(
+            tildea_p, scheme_t.brk_hat[party], scheme_t.brk_shoup[party],
+            rows, params, ctx,
+        )
+        got = kms_phase1_mx3(
+            tildea_p, keys3.brk_mx[party], keys3.brk_mx_shoup[party],
+            rows, params, ctx, g_tile=4, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mx3_phase1_bit_identical_nb1():
+    _phase1_cases(TINYMX)
+
+
+def test_mx3_phase1_bit_identical_nb2():
+    """N=256: covers the absorbed stage-1/stage-last matrix variants."""
+    _phase1_cases(TINYMX2)
+
+
+def test_mx3_phase1_gtile_split():
+    params = TINYMX2
+    _, a, parties, scheme_t = _setup(params)
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+    rng = np.random.default_rng(5)
+    g = 4
+    tildea_p = jnp.asarray(
+        rng.integers(0, 2 * params.big_n, size=(g, params.n), dtype=np.int64
+        ).astype(np.int32)
+    )
+    ref = kms.phase1(
+        tildea_p, scheme_t.brk_hat[1], scheme_t.brk_shoup[1],
+        params.l_lev, params, ctx,
+    )
+    got = kms_phase1_mx3(
+        tildea_p, keys3.brk_mx[1], keys3.brk_mx_shoup[1],
+        params.l_lev, params, ctx, g_tile=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mx3_bootstrap_bit_identical():
+    params = TINYMX2
+    _, a, parties, scheme_t = _setup(params)
+    lwe_keys = [p[0] for p in parties]
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+
+    rng = np.random.default_rng(13)
+    g = 4
+    m1 = rng.integers(0, 2, size=g).astype(bool)
+    m2 = rng.integers(0, 2, size=g).astype(bool)
+    ct1 = lwe_ith_encrypt_bit(
+        jax.random.key(1), jnp.array(m1), 0, lwe_keys[0], params.alpha, params.k, (g,)
+    )
+    ct2 = lwe_ith_encrypt_bit(
+        jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, params.k, (g,)
+    )
+    ct = gate_affine(0, ct1, ct2)
+    ref = kms.bootstrap(ct, scheme_t, params)
+    got = bootstrap_mx3(ct, scheme_t, keys3, params, interpret=True, g_tile=4)
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+
+
+def test_truncation_error_bound():
+    """|brk' - brk| <= 2^(TRUNC_BITS-1) on the u64 torus (wrapping)."""
+    from mktfhe_tpu.kernels.fused_mx3 import TRUNC_BITS
+
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.integers(0, 1 << 63, 1024, dtype=np.uint64) * 2 + 1)
+    t = truncate_brk(v)
+    diff = np.abs(np.asarray(t - v).view(np.int64))  # wrapping difference
+    assert diff.max() <= 1 << (TRUNC_BITS - 1)
