@@ -1,55 +1,49 @@
-"""mx3: 2-prime truncated-key whole-rotation phase-1 kernel.
+"""mx3: restructured whole-rotation phase-1 kernel (exact 3-prime CRT).
 
 Round 3's mx2 engine (fused_mx2.py) removed the per-step launch and HBM
-round-trip costs but still ran at ~1.4 ms per CMux step on a v5e --
-an xprof trace (PERF.md, round 4) shows the sweep kernel alone is 93% of
-the KMS8 bootstrap.  Two structural costs remain in mx2:
+round-trip costs but still ran at ~1.4 ms per CMux step on a v5e -- an
+xprof trace (PERF.md, round 4) shows the sweep kernel alone is 93% of the
+KMS8 bootstrap, with phase 2 + key switch at ~150 ms/batch.  mx2's
+remaining structural cost: the twiddle-folded per-(b', step) 128x128x128
+matmuls (9216 per step at KMS8) are far too small to feed the MXU, and
+the fori_loop glue serializes them against the VPU work.
 
-  * exact mod-2^64 arithmetic needs 3 CRT primes (conv bound
-    N * 2^8 * 2^64 = 2^83), so every transform/product runs 3x;
-  * the twiddle-folded per-(b', step) 128x128x128 matmuls (9216 per
-    step at KMS8) are far too small to feed the MXU, and the fori_loop
-    glue serializes them.
+This engine keeps mx2's exact arithmetic (bit-identical outputs, same
+3-prime CRT and key material -- `build_mx3_kms_keys is build_mx_kms_keys`)
+and restructures the compute:
 
-This engine restructures both, trading *provably negligible* noise for a
-~3x work cut:
-
-  1. **Truncated bootstrapping keys (2 CRT primes).**  brk torus values
-     are rounded to their top 41 bits and balanced-centered:
-     vc = round(brk / 2^23) - 2^41*[v >= 2^40], |vc| <= 2^40.  The
-     per-step contribution becomes ((X^a-1) * sum_j d_j * vc_j) * 2^23
-     mod 2^64 -- the centering multiples (2^41 * 2^23 = 2^64) vanish mod
-     2^64, so this EQUALS the exact engine run on the truncated key
-     brk' = vc * 2^23 mod 2^64 (the bit-exact test oracle,
-     tests/test_fused_mx3.py).  Against the *true* key the extra noise is
-     the rounding error (std 2^23/sqrt(12)) carried through the rotation:
-     analytically ~+2-4% output noise std at KMS8 vs a 17.3 sigma margin
-     (empirical margin row: scripts/preset_margins.py / MARGINS.md).  The reference accepts the same kind of error from
-     its Float64 FFT (/root/reference/README.md:9).  Convolution values
-     now bound by cpl*N*2^8*2^40 ~ 2^62-sigma-tails; with balanced
-     centering the value std is ~2^54, 34 sigma below the 2-prime CRT
-     capacity of +-2^59 (Hoeffding tail < e^-128 per coefficient).
-  2. **Shared forward matrix + twisted-table stages.**  mx2 folded the
+  1. **Shared forward matrix + twisted-table stages.**  mx2 folded the
      twiddle T[b',k1] into per-b' matrices, forcing one matmul per b'.
      Here the 128-point stage uses ONE matrix M (per prime, per limb)
-     over all (row, digit, b', gate) columns, and the twist moves into
+     over a whole row's 2l*gt digit columns, and the twist moves into
      per-k1 twiddle *tables* for the nb-point CT stages
      (w[e=mlen+blk, k1] = c_k1^h * Omega^(h*brv(blk)), h = nb/(2 mlen),
      c_k1 = psi^(2k1+1), Omega = psi^(2*128)): same butterfly count, no
      separate twiddle pass.  Validated in scripts/check_twisted_stages.py.
-  3. **First/last stage absorbed into the matmuls.**  The first CT stage
+  2. **First/last stage absorbed into the matmuls.**  The first CT stage
      pairs (b, b+nb/2) with a single k1-vector twiddle w1; using two
-     matrix variants (M, diag(w1) M) the butterfly happens on the f32
-     limb outputs (exact, |sum| < 2^23) -- one VPU stage eliminated.
+     matrix variants (M, diag(w1) M) that stage becomes a lazy u32
+     butterfly on combined matmul outputs -- one VPU stage eliminated.
      Mirror on the inverse: the last GS stage's twiddle and the 1/nb
      scale fold into two inverse-matrix variants (C' = ninv*C,
      Cw' = ninv*C*diag(w)).
-  4. **Column-batched matmuls.**  Forward contraction runs over one
+  3. **Column-batched matmuls.**  Forward contraction runs over one
      row's 2l*gt digit columns at a time ([128,128]@[128,1024] per
      (prime, row, b', limb) at g_tile=128); inverse over one cout's
-     rows*gt columns ([128,512]@[512,384]).  ~1000 MXU-shaped matmuls
-     per step instead of mx2's 9216 serialized 128-column ones, with
-     the VMEM working set held to one (row, cout) slice.
+     rows*gt columns ([128,512]@[512,384]).  MXU-shaped matmuls instead
+     of mx2's 9216 serialized 128-column ones, with the VMEM working set
+     held to one (row, cout) slice.
+
+**Negative result, recorded** (round 4): a 2-prime variant that rounded
+brk to its top 41 bits (balanced-centered, so the engine stayed
+bit-identical to the exact path on the truncated key) cut all kernel
+work by 1/3 and measured 48.9 boots/s -- but the key-rounding error is
+amplified ~2^22x by phase 2's LEV contraction + hybrid product (measured
+on chip: KMS8 output noise std 2^30.25 on the u32 torus, margin 0.21
+sigma, vs 2^23.9 / 17.3 sigma exact; the truncated-key ORACLE shows the
+identical blowup, so the kernel itself was bit-correct).  Noise demands
+truncation <= ~2^17, CRT capacity demands >= 2^23: no 2-prime operating
+point exists for the KMS presets.  See PERF.md.
 
 Counterpart of the reference's per-party `phase_1`
 (/root/reference/src/tfhe/bootstrapping.jl:389-443); factorization docs
@@ -69,15 +63,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ring.context import RingCtx, make_ring_ctx
 from ..ring.modring import shoup, _root_of_unity
-from .fused_kms import _decomp_pairs, _pair_add
+from .fused_kms import _decomp_pairs, _pair_add, garner_pairs
 from .fused_mx import _cond_sub, _digit_split, _shoup_lazy
-from .fused_mx2 import _bitrev_int, mono_factor_tables, _gather_mono_factors
+from .fused_mx2 import (
+    MxKmsKeys,
+    _bitrev_int,
+    _gather_mono_factors,
+    build_mx_kms_keys,
+    mono_factor_tables,
+)
 from .mx_ntt import NK, MxPlan, from_mx_order, mx_plan
 from .ntt_pallas import _mulhi, x32_trace
 
 U32 = jnp.uint32
 
-TRUNC_BITS = 23  # brk values rounded to their top 64-23 = 41 bits
 
 
 @functools.lru_cache(maxsize=None)
@@ -261,9 +260,10 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 ref[base : base + t] = u + vw  # < 4p
                 ref[base + t : base + 2 * t] = u + (two_p - vw)  # < 4p
             mlen *= 2
-        x = ref[...]
-        x = _cond_sub(_cond_sub(x, two_p), two_p)
-        ref[...] = _cond_sub(x, two_p)  # < 2p
+        for bb in range(nb):  # per-b tail: keeps live temps one slab wide
+            x = ref[bb]
+            x = _cond_sub(_cond_sub(x, two_p), two_p)
+            ref[bb] = _cond_sub(x, two_p)  # < 2p
 
     def inv_stages(ref, ti_ref, tish_ref, q: int, p: int):
         """GS stages up to (excluding) the last, on ref [nb, NK, icols];
@@ -398,46 +398,33 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ))
-                    e_ref[q, b, :, cc : cc + rg] = _combine_inv(ss, p)  # < p
+                    # the last prime's residues reuse est (its stage
+                    # outputs for this cout are dead after the limb split)
+                    val = _combine_inv(ss, p)  # < p
+                    if q == npr - 1:
+                        est_ref[b, :, cc : cc + rg] = val
+                    else:
+                        e_ref[q, b, :, cc : cc + rg] = val
 
-        # ── 2-prime Garner, balanced center, << TRUNC_BITS, accumulate ──
-        p0, p1_ = primes[0], primes[1]
-        w01 = pow(p0, -1, p1_)
-        w01_sh = shoup(w01, p1_)
-        pq = U32(p1_)
-        half_mod = (p0 * p1_) // 2
-        mlo, mhi = p0 * p1_ & 0xFFFFFFFF, (p0 * p1_) >> 32
-        hlo, hhi = half_mod & 0xFFFFFFFF, half_mod >> 32
+        # ── Garner reconstruction mod 2^64 (u32 pairs) + accumulate ──
+        # (balanced Garner as in fused_kms.garner_pairs, exact for any
+        # number of primes; e residues are canonical.)
         for cout in range(2):
             for r in range(rows):
                 col = (cout * rows + r) * gt
-                t0 = e_ref[0, :, :, col : col + gt]  # < p0
-                u = e_ref[1, :, :, col : col + gt]  # < p1
-                t0m = jnp.where(t0 >= pq, t0 - pq, t0)
-                d = u + (pq - t0m)
-                d = jnp.where(d >= pq, d - pq, d)
-                d = _shoup_lazy(U32(w01), U32(w01_sh), d, pq)
-                d = _cond_sub(d, pq)  # canonical digit < p1
-                # V = t0 + p0 * d  (u64 pair)
-                prod_lo = U32(p0) * d
-                prod_hi = _mulhi(U32(p0), d)
-                vlo = t0 + prod_lo
-                vhi = prod_hi + (vlo < t0).astype(U32)
-                # balanced center: V -= P2 when V >= P2/2
-                ge = (vhi > U32(hhi)) | ((vhi == U32(hhi)) & (vlo >= U32(hlo)))
-                slo = vlo - U32(mlo)
-                shi = vhi - U32(mhi) - (vlo < U32(mlo)).astype(U32)
-                vlo = jnp.where(ge, slo, vlo)
-                vhi = jnp.where(ge, shi, vhi)
-                # << TRUNC_BITS (mod 2^64)
-                sh = TRUNC_BITS
-                nlo = vlo << sh
-                nhi = (vhi << sh) | (vlo >> (32 - sh))
-                alo, ahi = _pair_add(
-                    wrk_lo_ref[r, cout], wrk_hi_ref[r, cout], nlo, nhi
-                )
-                wrk_lo_ref[r, cout] = alo
-                wrk_hi_ref[r, cout] = ahi
+                for bb in range(nb):  # per-b: keeps Garner temps small
+                    rs = [
+                        est_ref[bb, :, col : col + gt]
+                        if q == npr - 1
+                        else e_ref[q, bb, :, col : col + gt]
+                        for q in range(npr)
+                    ]
+                    dlo, dhi = garner_pairs(rs, ctx)
+                    alo, ahi = _pair_add(
+                        wrk_lo_ref[r, cout, bb], wrk_hi_ref[r, cout, bb], dlo, dhi
+                    )
+                    wrk_lo_ref[r, cout, bb] = alo
+                    wrk_hi_ref[r, cout, bb] = ahi
 
         @pl.when(s == n_steps - 1)
         def _flush():
@@ -481,7 +468,7 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 pltpu.VMEM((nb, NK, cpl * g_tile), U32),  # what (per row)
                 pltpu.VMEM((nb, NK, icols), U32),  # est (inverse staging)
                 pltpu.VMEM((nb, 4 * NK, rows * g_tile), jnp.bfloat16),  # inv limbs (one cout)
-                pltpu.VMEM((npr, nb, NK, icols), U32),  # e residues
+                pltpu.VMEM((npr - 1, nb, NK, icols), U32),  # e residues (last prime reuses est)
                 pltpu.VMEM(acc_shape, U32),  # resident acc lo
                 pltpu.VMEM(acc_shape, U32),  # resident acc hi
             ],
@@ -499,89 +486,32 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
 # ─── key material & driver ────────────────────────────────────────────────
 
 
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class Mx3KmsKeys:
-    """KMS phase-1 keys: mx-domain residues of the balanced-centered
-    truncated brk (2 primes).  brk_mx: [k, n, 2, 2l, 2, N] u32 (+ shoup)."""
+def mx3_nprimes(params) -> int:
+    """Exact CRT prime count, as the mx/mx2 engines (nprimes_needed)."""
+    from ..ring.context import nprimes_needed
 
-    brk_mx: jnp.ndarray
-    brk_mx_shoup: jnp.ndarray
-
-
-def truncate_brk(brk):
-    """Torus u64 -> truncated key brk' = round(brk / 2^23) * 2^23 mod 2^64.
-
-    The mx3 kernel is bit-identical to the exact engines run on this key
-    (the test oracle); vs the true key it adds ~+2% output noise std."""
-    v = (brk + jnp.uint64(1 << (TRUNC_BITS - 1))) >> jnp.uint64(TRUNC_BITS)
-    return v << jnp.uint64(TRUNC_BITS)
-
-
-def mx3_nprimes() -> int:
-    return 2
-
-
-def build_mx3_kms_keys(party_keys, params, chunk: int = 80) -> Mx3KmsKeys:
-    """Truncate + center brk and transform to the 2-prime mx domain."""
-    from .mx_ntt import mx_fwd_ref
-
-    from ..ring.torus import lift
-
-    npr = mx3_nprimes()
-    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
-    plan = mx_plan(ctx.n, npr)
-    n = params.n
-    primes = jnp.asarray(np.asarray(plan.primes, np.uint64))
-    t_bits = 64 - TRUNC_BITS
-    corr_np = np.array(
-        [(1 << t_bits) % int(p) for p in plan.primes], dtype=np.uint32
+    half_b = 1 << (params.log_b_gsw - 1)
+    return nprimes_needed(
+        params.ring_torus_bits, params.big_n, [(half_b, params.l_gsw * 2 * 2)]
     )
 
-    @jax.jit
-    def one_chunk(brk_c):  # [c, 2, l, 2, N] u64
-        v = (brk_c + jnp.uint64(1 << (TRUNC_BITS - 1))) >> jnp.uint64(TRUNC_BITS)
-        neg = v >= jnp.uint64(1 << (t_bits - 1))
-        # residues of the centered value vc = v - 2^t_bits * neg
-        res = lift(v, ctx.crt)  # [c,2,l,2,npr,N] u32
-        pu = jnp.asarray(np.asarray(plan.primes, np.uint32))[:, None]
-        corr = jnp.asarray(corr_np)[:, None]
-        res = jnp.where(
-            neg[..., None, :],
-            jnp.where(res >= corr, res - corr, res + pu - corr),
-            res,
-        )
-        hat = mx_fwd_ref(res, plan)  # [c, 2, l, 2, npr, N]
-        c, cin, l, cout = hat.shape[:4]
-        hat = jnp.transpose(hat, (0, 4, 1, 2, 3, 5)).reshape(
-            c, npr, cin * l, cout, ctx.n
-        )
-        p = primes[:, None, None, None]
-        sh = ((hat.astype(jnp.uint64) << 32) // p).astype(U32)
-        return hat, sh
 
-    hats, shs = [], []
-    for pk in party_keys:
-        phs, pss = [], []
-        for c0 in range(0, n, chunk):
-            h, s = one_chunk(pk.brk[c0 : c0 + chunk])
-            phs.append(h)
-            pss.append(s)
-        hats.append(jnp.concatenate(phs, axis=0))
-        shs.append(jnp.concatenate(pss, axis=0))
-    return Mx3KmsKeys(brk_mx=jnp.stack(hats), brk_mx_shoup=jnp.stack(shs))
+# mx3 consumes the same exact mx-domain key material as mx2; reuse its
+# builder and container (one conversion serves both engines).
+Mx3KmsKeys = MxKmsKeys
+build_mx3_kms_keys = build_mx_kms_keys
 
 
 def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: RingCtx, g_tile: int = 128, interpret: bool = False):
     """mx3 KMS phase 1 for one party (same contract as kms_phase1_mx2).
 
-    Bit-identical to kms.phase1 run on truncate_brk'd keys
+    Bit-identical to kms.phase1 / kms_phase1_mx2 -- same exact integers
     (tests/test_fused_mx3.py)."""
     from ..ciphertext.rlwe import gadget_gvec
     from ..ring.ntt import fwd_ntt
     from ..ring.torus import lift
 
-    npr = mx3_nprimes()
+    npr = brk_p.shape[1]
     ctx_p = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
     plan = mx_plan(ctx_p.n, npr)
     nb = plan.nb
@@ -601,10 +531,24 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
         tildea_p.astype(jnp.int32), n, npr
     )
 
-    sweep = make_mx3_sweep_kernel(params, ctx_p, iter_rows, n_steps, g_tile, interpret)
-    acc_lo, acc_hi = sweep(
-        acc_lo, acc_hi, brk_steps, brk_sh_steps, a_fac, a_sh, b_fac, b_sh
-    )
+    # One-row sweeps, lax.map'ed over the (independent) RLEV rows: the
+    # rows never interact during the rotation, and a one-row kernel keeps
+    # the VMEM working set (acc windows + inverse-side scratch) ~3x
+    # smaller -- the rows=3 variant exceeds the v5e scoped-vmem budget.
+    sweep = make_mx3_sweep_kernel(params, ctx_p, 1, n_steps, g_tile, interpret)
+    if iter_rows == 1:
+        acc_lo, acc_hi = sweep(
+            acc_lo, acc_hi, brk_steps, brk_sh_steps, a_fac, a_sh, b_fac, b_sh
+        )
+    else:
+        acc_lo, acc_hi = jax.lax.map(
+            lambda ab: sweep(
+                ab[0], ab[1], brk_steps, brk_sh_steps, a_fac, a_sh, b_fac, b_sh
+            ),
+            (acc_lo[:, None], acc_hi[:, None]),
+        )
+        acc_lo = acc_lo[:, 0]
+        acc_hi = acc_hi[:, 0]
     acc = acc_lo.astype(jnp.uint64) | (acc_hi.astype(jnp.uint64) << 32)
     acc = from_mx_order(acc.reshape(iter_rows, 2, n, g).swapaxes(-1, -2), nb)
     acc_std = jnp.transpose(acc, (2, 0, 1, 3))  # [G, rows, 2, N]

@@ -1,10 +1,7 @@
-"""mx3 (2-prime truncated-key) phase-1 engine tests.
+"""mx3 (restructured exact) phase-1 engine tests.
 
-The mx3 kernel is bit-identical to the exact jnp engine run on the
-truncated key brk' = truncate_brk(brk) (see fused_mx3.py docstring): the
-balanced-centering multiples are == 0 mod 2^64, and at tiny parameters
-the 2-prime CRT capacity bound (cpl*N*2^7*2^41 < 2^59) holds
-deterministically, so these comparisons are exact, not statistical.
+mx3 keeps mx2's exact 3-prime arithmetic (same key material), so every
+comparison against the jnp reference engine is bit-exact.
 """
 
 import dataclasses
@@ -17,7 +14,6 @@ from mktfhe_tpu.kernels.fused_mx3 import (
     bootstrap_mx3,
     build_mx3_kms_keys,
     kms_phase1_mx3,
-    truncate_brk,
 )
 from mktfhe_tpu.ring.context import make_ring_ctx
 from mktfhe_tpu.schemes import kms
@@ -25,7 +21,7 @@ from mktfhe_tpu.schemes.gates import gate_affine, lwe_ith_encrypt_bit
 from mktfhe_tpu.schemes.presets import TINY_KMS_2PARTY_MX as TINYMX
 
 # N=256 variant: nb=2, the smallest ring exercising the absorbed
-# first/last stage (matrix-variant) path.
+# first/last stage (matrix-variant) path and the twisted stage tables.
 TINYMX2 = dataclasses.replace(TINYMX, big_n=256)
 
 
@@ -34,16 +30,12 @@ def _setup(params):
     parties = [
         kms.party_keygen(jax.random.key(400 + i), a, params) for i in range(params.k)
     ]
-    # oracle scheme: same keys but brk truncated like the mx3 engine
-    trunc_parties = [
-        p[:3] + (p[3]._replace(brk=truncate_brk(p[3].brk)),) for p in parties
-    ]
-    scheme_t = kms.setup(a, [p[3] for p in trunc_parties], params)
-    return params, a, parties, scheme_t
+    scheme = kms.setup(a, [p[3] for p in parties], params)
+    return params, a, parties, scheme
 
 
 def _phase1_cases(params):
-    _, a, parties, scheme_t = _setup(params)
+    _, a, parties, scheme = _setup(params)
     ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
     keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
     rng = np.random.default_rng(3)
@@ -54,7 +46,7 @@ def _phase1_cases(params):
     )
     for party, rows in [(0, 1), (1, params.l_lev)]:
         ref = kms.phase1(
-            tildea_p, scheme_t.brk_hat[party], scheme_t.brk_shoup[party],
+            tildea_p, scheme.brk_hat[party], scheme.brk_shoup[party],
             rows, params, ctx,
         )
         got = kms_phase1_mx3(
@@ -75,7 +67,7 @@ def test_mx3_phase1_bit_identical_nb2():
 
 def test_mx3_phase1_gtile_split():
     params = TINYMX2
-    _, a, parties, scheme_t = _setup(params)
+    _, a, parties, scheme = _setup(params)
     ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
     keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
     rng = np.random.default_rng(5)
@@ -85,7 +77,7 @@ def test_mx3_phase1_gtile_split():
         ).astype(np.int32)
     )
     ref = kms.phase1(
-        tildea_p, scheme_t.brk_hat[1], scheme_t.brk_shoup[1],
+        tildea_p, scheme.brk_hat[1], scheme.brk_shoup[1],
         params.l_lev, params, ctx,
     )
     got = kms_phase1_mx3(
@@ -97,7 +89,7 @@ def test_mx3_phase1_gtile_split():
 
 def test_mx3_bootstrap_bit_identical():
     params = TINYMX2
-    _, a, parties, scheme_t = _setup(params)
+    _, a, parties, scheme = _setup(params)
     lwe_keys = [p[0] for p in parties]
     keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
 
@@ -112,18 +104,7 @@ def test_mx3_bootstrap_bit_identical():
         jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, params.k, (g,)
     )
     ct = gate_affine(0, ct1, ct2)
-    ref = kms.bootstrap(ct, scheme_t, params)
-    got = bootstrap_mx3(ct, scheme_t, keys3, params, interpret=True, g_tile=4)
+    ref = kms.bootstrap(ct, scheme, params)
+    got = bootstrap_mx3(ct, scheme, keys3, params, interpret=True, g_tile=4)
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
     np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
-
-
-def test_truncation_error_bound():
-    """|brk' - brk| <= 2^(TRUNC_BITS-1) on the u64 torus (wrapping)."""
-    from mktfhe_tpu.kernels.fused_mx3 import TRUNC_BITS
-
-    rng = np.random.default_rng(7)
-    v = jnp.asarray(rng.integers(0, 1 << 63, 1024, dtype=np.uint64) * 2 + 1)
-    t = truncate_brk(v)
-    diff = np.abs(np.asarray(t - v).view(np.int64))  # wrapping difference
-    assert diff.max() <= 1 << (TRUNC_BITS - 1)
