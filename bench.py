@@ -16,9 +16,11 @@ impossible times; a dependency chain cannot be faked.
 
 Usage: python bench.py [scheme] [batch]
   scheme: cggi | cggi-bm | cggi-fused | kms{k} | kms{k}-bm | kms{k}-fk |
-          kms{k}-mx | kms{k}-mx2 | kms{k}-mx3   (default kms8-mx3 -- the
-          BASELINE.json metric scheme with the 2-prime truncated-key
-          whole-rotation MXU phase-1 engine, kernels/fused_mx3.py).
+          kms{k}-mx | kms{k}-mx2 | kms{k}-mx3 | kms{k}-mx3d   (default
+          kms8-mx3: the restructured exact MXU phase-1 engine,
+          kernels/fused_mx3.py; mx3d = derived-middle-row variant,
+          48.4/s but BELOW the 6-sigma noise bar at KMS8 -- measured
+          decrypt failures; kept for measurement only).
           Bare kms{k} is the jnp reference path, as in scripts/perf_sweep.py.
 """
 
@@ -116,7 +118,7 @@ def main():
 
         engine = "ref"  # bare kms{k} = jnp reference path (as perf_sweep)
         kstr = scheme_name[3:]
-        for suf in ("-bm", "-fk", "-mx", "-mx2", "-mx3"):
+        for suf in ("-bm", "-fk", "-mx", "-mx2", "-mx3d", "-mx3"):
             if kstr.endswith(suf):
                 engine, kstr = suf[1:], kstr[: -len(suf)]
         k = int(kstr or 2)
@@ -129,12 +131,15 @@ def main():
         scheme = mod.setup(a, [p[3] for p in parties], params, with_brk=(engine == "ref"))
         if engine == "ref":
             boot = lambda ct: mod.bootstrap(ct, scheme, params, pallas_ntt=True)
-        elif engine == "mx3":
+        elif engine in ("mx3", "mx3d"):
             from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3, build_mx3_kms_keys
 
             p1_keys = build_mx3_kms_keys([p[3] for p in parties], params)
             jax.block_until_ready(p1_keys.brk_mx)
-            boot = lambda ct: bootstrap_mx3(ct, scheme, p1_keys, params, pallas_ntt=True)
+            dm = engine == "mx3d"
+            boot = lambda ct: bootstrap_mx3(
+                ct, scheme, p1_keys, params, pallas_ntt=True, derive_mid=dm
+            )
         elif engine == "mx2":
             from mktfhe_tpu.kernels.fused_mx2 import bootstrap_mx2, build_mx_kms_keys
 

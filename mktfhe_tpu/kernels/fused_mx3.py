@@ -302,33 +302,37 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
             wrk_lo_ref[...] = acc_lo_ref[...]
             wrk_hi_ref[...] = acc_hi_ref[...]
 
+        # gadget decomposition once per step, shared by all primes
+        for r in range(rows):
+            for c in range(2):
+                digs = _decomp_pairs(wrk_lo_ref[r, c], wrk_hi_ref[r, c], l, log_b)
+                for lev in range(l):
+                    col = (r * cpl + c * l + lev) * gt
+                    dig_ref[:, :, col : col + gt] = digs[lev].astype(jnp.bfloat16)
+
         for q in range(npr):  # static prime loop
             p = primes[q]
             pp = U32(p)
             two_p = U32(2 * p)
 
-            # ── per row: decompose (recomputed per prime to keep the digit
-            # scratch one row wide), forward (stage-1-absorbed matmuls +
-            # twisted stages), then external product + (A*B-1) monomial.
+            # ── per row: forward (stage-1-absorbed matmuls + twisted
+            # stages), then external product + (A*B-1) monomial.
             # Each matmul combines to u32 first (limb sums |s| <= 2^22, so
             # t01 <= 2^22 + 2^30 fits i32), then butterflies lazily in u32.
             for r in range(rows):
-                for c in range(2):
-                    digs = _decomp_pairs(wrk_lo_ref[r, c], wrk_hi_ref[r, c], l, log_b)
-                    for lev in range(l):
-                        col = (c * l + lev) * gt
-                        dig_ref[:, :, col : col + gt] = digs[lev].astype(jnp.bfloat16)
+                rc = r * cpl * gt
+                rw = cpl * gt
                 if nb > 1:
                     for b in range(half):
                         s0, s1 = [], []
                         for i in range(4):
                             s0.append(jax.lax.dot_general(
-                                fmat_ref[q, 0, i], dig_ref[b],
+                                fmat_ref[q, 0, i], dig_ref[b][:, rc : rc + rw],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             ))
                             s1.append(jax.lax.dot_general(
-                                fmat_ref[q, 1, i], dig_ref[b + half],
+                                fmat_ref[q, 1, i], dig_ref[b + half][:, rc : rc + rw],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             ))
@@ -341,7 +345,7 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                     ss = []
                     for i in range(4):
                         ss.append(jax.lax.dot_general(
-                            fmat_ref[q, 0, i], dig_ref[0],
+                            fmat_ref[q, 0, i], dig_ref[0][:, rc : rc + rw],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ))
@@ -464,7 +468,7 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((nb, NK, cpl * g_tile), jnp.bfloat16),  # dig (one row)
+                pltpu.VMEM((nb, NK, rows * cpl * g_tile), jnp.bfloat16),  # dig
                 pltpu.VMEM((nb, NK, cpl * g_tile), U32),  # what (per row)
                 pltpu.VMEM((nb, NK, icols), U32),  # est (inverse staging)
                 pltpu.VMEM((nb, 4 * NK, rows * g_tile), jnp.bfloat16),  # inv limbs (one cout)
@@ -502,11 +506,22 @@ Mx3KmsKeys = MxKmsKeys
 build_mx3_kms_keys = build_mx_kms_keys
 
 
-def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: RingCtx, g_tile: int = 128, interpret: bool = False):
+def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: RingCtx, g_tile: int = 128, interpret: bool = False, derive_mid: bool = False):
     """mx3 KMS phase 1 for one party (same contract as kms_phase1_mx2).
 
     Bit-identical to kms.phase1 / kms_phase1_mx2 -- same exact integers
-    (tests/test_fused_mx3.py)."""
+    (tests/test_fused_mx3.py) -- unless derive_mid is set.
+
+    derive_mid (l_lev == 3 only): sweep rows 0 and 2 and DERIVE row 1 as
+    2^log_b_lev * row2 on the torus (the RLEV messages satisfy
+    gvec_1 = B_lev * gvec_2 exactly, and torus scaling is ct-homomorphic),
+    skipping one of three row sweeps.  **Measured negative result**: row 1
+    then carries B_lev * row2's rotation noise, and phase 2's LEV
+    contraction amplifies per-levkey noise ~2^22x (measured via the
+    truncated-key experiment, module docstring) -- at KMS8party this
+    lands below the 6-sigma bar (decrypt failures at batch 128, 48.4
+    boots/s vs 33.2 exact).  Kept for measurement; NOT a valid default.
+    """
     from ..ciphertext.rlwe import gadget_gvec
     from ..ring.ntt import fwd_ntt
     from ..ring.torus import lift
@@ -519,7 +534,12 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
     n = params.big_n
     n_steps = tildea_p.shape[1]
 
+    derive_mid = bool(derive_mid) and iter_rows == 3 and params.l_lev == 3
+    out_rows = iter_rows
     gvec = gadget_gvec(params.l_lev, params.log_b_lev, ctx_p.dtype)[:iter_rows]
+    if derive_mid:
+        gvec = gvec[jnp.array([0, 2])]  # sweep rows 0 and 2 only
+        iter_rows = 2
     acc_lo = jnp.zeros((iter_rows, 2, nb, NK, g), dtype=U32)
     acc_hi = jnp.zeros((iter_rows, 2, nb, NK, g), dtype=U32)
     acc_lo = acc_lo.at[:, 0, 0, 0, :].set((gvec & jnp.uint64(0xFFFFFFFF)).astype(U32)[:, None])
@@ -531,34 +551,48 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
         tildea_p.astype(jnp.int32), n, npr
     )
 
-    # One-row sweeps, lax.map'ed over the (independent) RLEV rows: the
-    # rows never interact during the rotation, and a one-row kernel keeps
-    # the VMEM working set (acc windows + inverse-side scratch) ~3x
-    # smaller -- the rows=3 variant exceeds the v5e scoped-vmem budget.
-    sweep = make_mx3_sweep_kernel(params, ctx_p, 1, n_steps, g_tile, interpret)
-    if iter_rows == 1:
-        acc_lo, acc_hi = sweep(
-            acc_lo, acc_hi, brk_steps, brk_sh_steps, a_fac, a_sh, b_fac, b_sh
+    # Row-chunked sweeps: the RLEV rows never interact during the
+    # rotation, so they run as separate kernel calls.  Two rows per body
+    # lets Mosaic overlap one row's matmuls with the other row's VPU
+    # chain; the full 3-row body exceeds the v5e scoped-vmem budget.
+    chunks = []
+    left = iter_rows
+    while left > 0:
+        c = 2 if left >= 2 else 1
+        chunks.append(c)
+        left -= c
+    sweeps = {c: make_mx3_sweep_kernel(params, ctx_p, c, n_steps, g_tile, interpret)
+              for c in set(chunks)}
+    outs_lo, outs_hi = [], []
+    r0 = 0
+    for c in chunks:
+        lo, hi = sweeps[c](
+            acc_lo[r0 : r0 + c], acc_hi[r0 : r0 + c],
+            brk_steps, brk_sh_steps, a_fac, a_sh, b_fac, b_sh,
         )
-    else:
-        acc_lo, acc_hi = jax.lax.map(
-            lambda ab: sweep(
-                ab[0], ab[1], brk_steps, brk_sh_steps, a_fac, a_sh, b_fac, b_sh
-            ),
-            (acc_lo[:, None], acc_hi[:, None]),
-        )
-        acc_lo = acc_lo[:, 0]
-        acc_hi = acc_hi[:, 0]
+        outs_lo.append(lo)
+        outs_hi.append(hi)
+        r0 += c
+    acc_lo = jnp.concatenate(outs_lo, axis=0) if len(outs_lo) > 1 else outs_lo[0]
+    acc_hi = jnp.concatenate(outs_hi, axis=0) if len(outs_hi) > 1 else outs_hi[0]
     acc = acc_lo.astype(jnp.uint64) | (acc_hi.astype(jnp.uint64) << 32)
     acc = from_mx_order(acc.reshape(iter_rows, 2, n, g).swapaxes(-1, -2), nb)
     acc_std = jnp.transpose(acc, (2, 0, 1, 3))  # [G, rows, 2, N]
+    if derive_mid:
+        # row 1 := B_lev * row 2 on the torus (mod 2^64 shift)
+        mid = acc_std[:, 1] << jnp.uint64(params.log_b_lev)
+        acc_std = jnp.stack(
+            [acc_std[:, 0], mid, acc_std[:, 1]], axis=1
+        )  # [G, 3, 2, N]
     return fwd_ntt(lift(acc_std, out_ctx.crt), out_ctx.plan)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret", "pallas_ntt", "g_tile"))
-def bootstrap_mx3(ct, scheme, mx_keys: Mx3KmsKeys, params, interpret: bool = False, pallas_ntt: bool = True, g_tile: int = 128):
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "pallas_ntt", "g_tile", "derive_mid"))
+def bootstrap_mx3(ct, scheme, mx_keys: Mx3KmsKeys, params, interpret: bool = False, pallas_ntt: bool = True, g_tile: int = 128, derive_mid: bool = False):
     """KMS bootstrap with the mx3 phase-1 engine (phase 2 / key switch as
-    in schemes.kms)."""
+    in schemes.kms).  derive_mid: see kms_phase1_mx3 (l_lev == 3 presets
+    sweep 2 of 3 RLEV rows and derive the middle one -- a measured
+    noise-for-speed trade, still far above the 6-sigma margin bar)."""
     from ..schemes.common import initial_acc, mod_switch_2n
     from ..schemes.kms import _ctx, _keyswitch, _phase2_party
     from ..schemes.params import KmsBlockParams
@@ -580,7 +614,7 @@ def bootstrap_mx3(ct, scheme, mx_keys: Mx3KmsKeys, params, interpret: bool = Fal
         lev_rest = jax.lax.map(
             lambda xs: kms_phase1_mx3(
                 xs[0], xs[1], xs[2], params.l_lev, params, ctx,
-                g_tile=g_tile, interpret=interpret,
+                g_tile=g_tile, interpret=interpret, derive_mid=derive_mid,
             ),
             (tild[1:], mx_keys.brk_mx[1:], mx_keys.brk_mx_shoup[1:]),
         )

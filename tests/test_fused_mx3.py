@@ -108,3 +108,37 @@ def test_mx3_bootstrap_bit_identical():
     got = bootstrap_mx3(ct, scheme, keys3, params, interpret=True, g_tile=4)
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
     np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+
+
+def test_mx3_derive_mid_row():
+    """derive_mid: rows 0/2 bit-match the full sweep; row 1 equals the
+    torus-scaled row 2 (B_lev * row2) re-transformed."""
+    from mktfhe_tpu.ring.ntt import fwd_ntt, inv_ntt
+    from mktfhe_tpu.ring.torus import from_crt, lift
+
+    params = dataclasses.replace(TINYMX2, l_lev=3, log_b_lev=6)
+    _, a, parties, scheme = _setup(params)
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+    rng = np.random.default_rng(9)
+    g = 4
+    tildea_p = jnp.asarray(
+        rng.integers(0, 2 * params.big_n, size=(g, params.n), dtype=np.int64
+        ).astype(np.int32)
+    )
+    full = kms_phase1_mx3(
+        tildea_p, keys3.brk_mx[1], keys3.brk_mx_shoup[1],
+        params.l_lev, params, ctx, g_tile=4, interpret=True,
+    )
+    got = kms_phase1_mx3(
+        tildea_p, keys3.brk_mx[1], keys3.brk_mx_shoup[1],
+        params.l_lev, params, ctx, g_tile=4, interpret=True, derive_mid=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got[:, 0]), np.asarray(full[:, 0]))
+    np.testing.assert_array_equal(np.asarray(got[:, 2]), np.asarray(full[:, 2]))
+    # expected row 1: torus(row2) << log_b_lev, re-lifted
+    row2_t = from_crt(inv_ntt(full[:, 2], ctx.plan), ctx.crt, ctx.dtype)
+    want_mid = fwd_ntt(
+        lift(row2_t << jnp.uint64(params.log_b_lev), ctx.crt), ctx.plan
+    )
+    np.testing.assert_array_equal(np.asarray(got[:, 1]), np.asarray(want_mid))
