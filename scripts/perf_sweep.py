@@ -97,8 +97,8 @@ def run_config(name: str, batch: int, reps: int = 8):
             parties = [mod.party_keygen(jax.random.key(1 + i), crs_v, params) for i in range(k)]
             scheme = mod.setup(crs_v, [p[2] for p in parties], params)
         else:
-            bm = name.endswith(("-bm", "-fk", "-mx", "-mx2"))
-            kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-fk", "").replace("-mx2", "").replace("-mx", "")
+            bm = name.endswith(("-bm", "-fk", "-mx", "-mx2", "-mx3"))
+            kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-fk", "").replace("-mx3", "").replace("-mx2", "").replace("-mx", "")
             k = int(kstr)
             params = ALL_PRESETS[f"KMS{k}party"]
             mod = kms
@@ -116,6 +116,12 @@ def run_config(name: str, batch: int, reps: int = 8):
             bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
             jax.block_until_ready(bm_keys.brk_bm)
             boot = lambda ct: mod.bootstrap_bm(ct, scheme, bm_keys, params, pallas_ntt=True)
+        elif name.startswith("kms") and name.endswith("-mx3"):
+            from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3, build_mx3_kms_keys
+
+            mx_keys = build_mx3_kms_keys([p[3] for p in parties], params)
+            jax.block_until_ready(mx_keys.brk_mx)
+            boot = lambda ct: bootstrap_mx3(ct, scheme, mx_keys, params, pallas_ntt=True)
         elif name.startswith("kms") and name.endswith("-mx2"):
             from mktfhe_tpu.kernels.fused_mx2 import bootstrap_mx2, build_mx_kms_keys
 
@@ -167,7 +173,7 @@ def run_config(name: str, batch: int, reps: int = 8):
         elif name.startswith("kms") and "block" not in name:
             cost = kms_cost(
                 params,
-                engine="mx" if name.endswith(("-mx", "-mx2")) else "ref",
+                engine="mx" if name.endswith(("-mx", "-mx2", "-mx3")) else "ref",
                 nprimes=params.ring_nprimes,
             )
         if cost is not None:
@@ -186,7 +192,8 @@ def main():
         "cggi:64", "cggi:256", "cggi-bm:64", "cggi-bm:256",
         "cggi-fused:64", "cggi-fused:256",
         "lmss:64", "lmss-pl:64", "ccs2:16", "ccs2-pl:16",
-        "kms2-mx2:128", "kms2-bm:16", "kms8-mx:128", "kms8-mx2:128",
+        "kms2-mx3:128", "kms2-bm:16", "kms8-mx2:128", "kms8-mx3:128",
+        "kms16-mx3:64",
     ]
     results = []
     for spec in args:
