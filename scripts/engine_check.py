@@ -94,6 +94,16 @@ def check_kms(params, tag, g=8):
 
     mx2_keys = build_mx_kms_keys([p[3] for p in parties], params)
     check(f"{tag} mx2", bootstrap_mx2(ct, scheme, mx2_keys, params, g_tile=g), ref)
+    from mktfhe_tpu.kernels.fused_mx import _digit_split
+
+    if _digit_split(params.log_b_gsw) == 1:  # mx3 supports log_b <= 9
+        from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3
+
+        check(
+            f"{tag} mx3",
+            bootstrap_mx3(ct, scheme, mx2_keys, params, g_tile=g),
+            ref,
+        )
 
 
 def main():
@@ -108,6 +118,13 @@ def main():
         l_lev=2, log_b_lev=10, l_uni=3, log_b_uni=10, k=2,
     )
     check_kms(small, "kms2-smalln")
+    # KMS8-shaped gadget (log_b 9, nsplit=1): exercises the mx3 engine
+    small9 = KmsParams(
+        n=64, alpha=ALL_PRESETS["KMS8party"].alpha, f=7, log_d=2, big_n=2048,
+        beta=ALL_PRESETS["KMS8party"].beta, l_gsw=4, log_b_gsw=9,
+        l_lev=3, log_b_lev=6, l_uni=4, log_b_uni=8, k=2,
+    )
+    check_kms(small9, "kms2-smalln-b9")
     if mode == "full":
         check_kms(ALL_PRESETS["KMS2party"], "kms2-preset")
     print(f"engine_check {mode}: {len(FAILURES)} failures in {time.time()-t0:.0f}s")

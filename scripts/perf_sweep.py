@@ -192,7 +192,7 @@ def main():
         "cggi:64", "cggi:256", "cggi-bm:64", "cggi-bm:256",
         "cggi-fused:64", "cggi-fused:256",
         "lmss:64", "lmss-pl:64", "ccs2:16", "ccs2-pl:16",
-        "kms2-mx3:128", "kms2-bm:16", "kms8-mx2:128", "kms8-mx3:128",
+        "kms2-mx2:128", "kms2-bm:16", "kms8-mx2:128", "kms8-mx3:128",
         "kms16-mx3:64",
     ]
     results = []
