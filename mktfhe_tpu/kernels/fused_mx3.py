@@ -217,8 +217,12 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
     """Build sweep(acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh).
 
     Same contract as fused_mx2.make_mx_sweep_kernel but with the mx3
-    internals; ctx must be the 2-prime truncated-key ring context and brk
-    the mx-domain residues of the centered truncated key.
+    internals; ctx must be the exact nprimes_needed ring context and brk
+    the same mx-domain key material as mx2 (build_mx3_kms_keys is
+    build_mx_kms_keys).  The kernel body sizes every scratch buffer and
+    column stride with g_tile, so the gate batch must be a multiple of
+    g_tile -- callers resolve g_tile = min(g_tile, g) first
+    (kms_phase1_mx3 does).
     """
     n = ctx.n
     npr = ctx.nprimes
@@ -437,8 +441,12 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
 
     def sweep(acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh):
         g = acc_lo.shape[-1]
-        gt = min(g, g_tile)
-        assert g % gt == 0
+        gt = g_tile
+        assert g % gt == 0, (
+            f"batch {g} must be a multiple of the kernel's g_tile {gt} "
+            "(the body hardcodes g_tile strides; resolve g_tile before "
+            "building the kernel, as kms_phase1_mx3 does)"
+        )
         acc_shape = (rows, 2, nb, NK, gt)
         return x32_trace(pl.pallas_call(
             kernel,
@@ -527,12 +535,17 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
     from ..ring.torus import lift
 
     npr = brk_p.shape[1]
+    assert npr == mx3_nprimes(params), (
+        f"brk prime count {npr} != exact CRT count {mx3_nprimes(params)}"
+    )
     ctx_p = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
     plan = mx_plan(ctx_p.n, npr)
     nb = plan.nb
     g = tildea_p.shape[0]
     n = params.big_n
     n_steps = tildea_p.shape[1]
+    g_tile = min(g_tile, g)
+    assert g % g_tile == 0, f"batch {g} not a multiple of g_tile {g_tile}"
 
     derive_mid = bool(derive_mid) and iter_rows == 3 and params.l_lev == 3
     out_rows = iter_rows

@@ -23,6 +23,11 @@ from mktfhe_tpu.schemes.presets import TINY_KMS_2PARTY_MX as TINYMX
 # N=256 variant: nb=2, the smallest ring exercising the absorbed
 # first/last stage (matrix-variant) path and the twisted stage tables.
 TINYMX2 = dataclasses.replace(TINYMX, big_n=256)
+# N=512 variant: nb=4, the smallest ring where the twisted CT/GS
+# butterfly loops (fwd_stages/inv_stages) actually execute (at nb=2 the
+# stage loop bodies are empty -- everything is absorbed into the matrix
+# variants).
+TINYMX4 = dataclasses.replace(TINYMX, big_n=512)
 
 
 def _setup(params):
@@ -63,6 +68,37 @@ def test_mx3_phase1_bit_identical_nb1():
 def test_mx3_phase1_bit_identical_nb2():
     """N=256: covers the absorbed stage-1/stage-last matrix variants."""
     _phase1_cases(TINYMX2)
+
+
+def test_mx3_phase1_bit_identical_nb4():
+    """N=512: the twisted CT/GS stage loops run (mlen=2 fwd, mlen=4 inv),
+    exercising twisted_stage_tables entries beyond e=1 under pytest."""
+    _phase1_cases(TINYMX4)
+
+
+def test_mx3_phase1_default_gtile_small_batch():
+    """batch < default g_tile=128: the kernel must resolve g_tile down to
+    the batch instead of tracing mismatched scratch shapes (round-4
+    advisor finding)."""
+    params = TINYMX2
+    _, a, parties, scheme = _setup(params)
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+    rng = np.random.default_rng(7)
+    g = 4
+    tildea_p = jnp.asarray(
+        rng.integers(0, 2 * params.big_n, size=(g, params.n), dtype=np.int64
+        ).astype(np.int32)
+    )
+    ref = kms.phase1(
+        tildea_p, scheme.brk_hat[1], scheme.brk_shoup[1],
+        params.l_lev, params, ctx,
+    )
+    got = kms_phase1_mx3(
+        tildea_p, keys3.brk_mx[1], keys3.brk_mx_shoup[1],
+        params.l_lev, params, ctx, interpret=True,  # default g_tile=128 > g
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 def test_mx3_phase1_gtile_split():
