@@ -48,6 +48,13 @@ def _pair_add(lo, hi, blo, bhi):
     return slo, hi + bhi + carry
 
 
+def _pair_sub(lo, hi, blo, bhi):
+    """(lo, hi) - (blo, bhi) mod 2^64."""
+    slo = lo - blo
+    borrow = (lo < blo).astype(U32)
+    return slo, hi - bhi - borrow
+
+
 def _pair_add_u32(lo, hi, c):
     """(lo, hi) + c (u32) mod 2^64."""
     slo = lo + c

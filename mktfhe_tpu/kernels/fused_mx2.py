@@ -388,21 +388,25 @@ class MxKmsKeys:
     brk_mx_shoup: jnp.ndarray
 
 
-def build_mx_kms_keys(party_keys, params, chunk: int = 80) -> MxKmsKeys:
+def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = None) -> MxKmsKeys:
     """Convert KMS party keys (torus domain) for the mx engines.
 
     Pipelined over n-bit chunks across ALL parties (round 2 transformed one
     party at a time with a hard sync per party -- 60 s at k=8; chunking
     keeps peak memory at one chunk's intermediates while letting the
-    device pipeline across parties and chunks)."""
+    device pipeline across parties and chunks).
+
+    npr overrides the CRT prime count (mx3's block presets use a
+    different reconstruction bound, fused_mx3.mx3_nprimes)."""
     from ..ring.context import nprimes_needed
     from ..ring.torus import lift
     from .mx_ntt import mx_fwd_ref
 
     half_b = 1 << (params.log_b_gsw - 1)
-    npr = nprimes_needed(
-        params.ring_torus_bits, params.big_n, [(half_b, params.l_gsw * 2 * 2)]
-    )
+    if npr is None:
+        npr = nprimes_needed(
+            params.ring_torus_bits, params.big_n, [(half_b, params.l_gsw * 2 * 2)]
+        )
     ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, npr)
     plan = mx_plan(ctx.n, npr)
     n = params.n

@@ -63,8 +63,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ring.context import RingCtx, make_ring_ctx
 from ..ring.modring import shoup, _root_of_unity
-from .fused_kms import _decomp_pairs, _pair_add, garner_pairs
-from .fused_mx import _cond_sub, _digit_split, _shoup_lazy
+from .fused_kms import _decomp_pairs, _pair_add, _pair_sub, garner_pairs
+from .fused_mx import _cond_sub
+from .ntt_pallas import _shoup_lazy3
 from .fused_mx2 import (
     MxKmsKeys,
     _bitrev_int,
@@ -132,11 +133,13 @@ def _limbs_balanced(mat, count=4):
 
 
 @functools.lru_cache(maxsize=None)
-def _mx3_matrices(n: int, nprimes: int):
+def _mx3_matrices(n: int, nprimes: int, nsplit: int = 1):
     """Forward/inverse matrix variants with stage-1 / last-stage absorbed.
 
-    fmat [npr, 2, 4, NK, NK] bf16-able f32: variant 0 = M, variant 1 =
-    diag(w1) M (w1 = fwd stage-1 twiddle; identity when nb == 1).
+    fmat [npr, 2, nsplit, 4, NK, NK] bf16-able f32: variant 0 = M,
+    variant 1 = diag(w1) M (w1 = fwd stage-1 twiddle; identity when
+    nb == 1); digit-split s scales the variant by 2^(8s) mod p (digits
+    above 9 bits are fed as base-256 split planes, see the kernel).
     imat [npr, 2, 4, NK, 4*NK]: variant 0 = ninv*C with data-limb shifts
     folded ([i] = concat_j limbs_i(2^(8j) ninv C)), variant 1 likewise
     for ninv*C*diag(w_inv1).
@@ -158,7 +161,13 @@ def _mx3_matrices(n: int, nprimes: int):
         else:
             variants_f.append(m)
             variants_i.append((c * ninv) % p)
-        fm = np.stack([_limbs_balanced(v) for v in variants_f])  # [2,4,NK,NK]
+        fm = np.stack([
+            np.stack([
+                _limbs_balanced((v * pow(2, 8 * sp, p)) % p)
+                for sp in range(nsplit)
+            ])
+            for v in variants_f
+        ])  # [2, nsplit, 4, NK, NK]
         im = []
         for v in variants_i:
             per_i = []
@@ -176,7 +185,8 @@ def _mx3_matrices(n: int, nprimes: int):
 
 
 def _combine_fwd(ss, p: int):
-    """4 f32 limb matmul outputs -> u32 value < 4p (as fused_mx2)."""
+    """4 f32 limb matmul outputs -> u32 value < 5p (approximate-Shoup
+    r16 merge; modring.PRIMES guarantee 6p < 2^32 so 5p is u32-safe)."""
     pp = U32(p)
     two_p = U32(2 * p)
     r16 = (1 << 16) % p
@@ -186,19 +196,19 @@ def _combine_fwd(ss, p: int):
     t01 = s[0] + (s[1] << 8)
     t23 = s[2] + (s[3] << 8)
     up = jax.lax.bitcast_convert_type(t23 + c2p, U32)
-    m = _shoup_lazy(U32(r16), U32(r16_sh), up, pp)  # < 2p
+    m = _shoup_lazy3(U32(r16), U32(r16_sh), up, pp)  # < 3p
     tp = jax.lax.bitcast_convert_type(t01 + c2p, U32)
     tp = _cond_sub(tp, two_p)  # < 2p
-    return tp + m  # < 4p
+    return tp + m  # < 5p
 
 
 def _combine_inv(ss, p: int):
     """4 f32 limb matmul outputs -> canonical u32 residue < p."""
     pp = U32(p)
     two_p = U32(2 * p)
-    v = _combine_fwd(ss, p)  # < 4p
-    v = _cond_sub(v, two_p)
-    v = _cond_sub(v, pp)
+    v = _combine_fwd(ss, p)  # < 5p
+    v = _cond_sub(v, two_p)  # < 3p
+    v = _cond_sub(v, two_p)  # < 2p
     return _cond_sub(v, pp)
 
 
@@ -213,17 +223,34 @@ def _split4_bf16(v):
     return limbs
 
 
-def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_tile: int, interpret: bool):
+def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_tile: int, interpret: bool, ell: int = 1):
     """Build sweep(acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh).
 
     Same contract as fused_mx2.make_mx_sweep_kernel but with the mx3
-    internals; ctx must be the exact nprimes_needed ring context and brk
-    the same mx-domain key material as mx2 (build_mx3_kms_keys is
-    build_mx_kms_keys).  The kernel body sizes every scratch buffer and
-    column stride with g_tile, so the gate batch must be a multiple of
-    g_tile -- callers resolve g_tile = min(g_tile, g) first
-    (kms_phase1_mx3 does).
+    internals and a leading `ell` member axis on brk/a_fac/b_fac; ctx
+    must be the exact mx3_nprimes ring context and brk the same mx-domain
+    key material as mx2 (build_mx3_kms_keys is build_mx_kms_keys).
+
+    ell == 1: the binary-key rotation -- per step one external product,
+    monomial fused as (A*B - 1) (reconstruction bound 2 * 2l * N * B/2 *
+    2^63, the reference's `phase_1`, bootstrapping.jl:389-443).
+
+    ell > 1 (block-binary, the reference's phase-1 block variant at
+    bootstrapping.jl:599-659): ONE gadget decomposition + forward NTT per
+    d-block serves `ell` external products; the ell monomial-weighted
+    products accumulate in the evaluation domain as TWO sums,
+    U = sum_m A_m*B_m*eh_m and V = sum_m eh_m, which are inverse-
+    transformed and Garner-reconstructed separately and subtracted on the
+    2^64 torus (exact wrap).  The split keeps each reconstruction bound at
+    ell * 2l * N * B/2 * 2^63 -- the fused (A*B-1) accumulation would
+    need 2x that, pushing KMS8partyblock past the 3-prime CRT range.
+
+    The kernel body sizes every scratch buffer and column stride with
+    g_tile, so the gate batch must be a multiple of g_tile -- callers
+    resolve g_tile = min(g_tile, g) first (kms_phase1_mx3 does).
     """
+    import math
+
     n = ctx.n
     npr = ctx.nprimes
     plan = mx_plan(n, npr)
@@ -231,17 +258,33 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
     half = nb // 2
     l, log_b = params.l_gsw, params.log_b_gsw
     cpl = 2 * l
-    assert _digit_split(log_b) == 1, "mx3 assumes log_b <= 9 (one bf16 digit)"
+    # one bf16 digit plane up to log_b = 9 (|d| <= 256 exact in bf16);
+    # above that, a base-256 split d = d0 + 256*d1 with the 2^8 folded
+    # into a second set of forward matrices.  |t01| <= 2p in the combine
+    # caps the split at log_b <= 14 (d1 <= 64); the reference's widest
+    # gadget is log_b = 12 (KMS2party, params.jl:51).
+    nsplit = 1 if log_b <= 9 else 2
+    assert log_b <= 14, "mx3 digit split covers log_b <= 14 (combine bound)"
     primes = [int(p) for p in plan.primes]
+    # balanced-Garner exactness: |true integer| < prod(primes)/2 (DESIGN.md
+    # section 2); the mono factor costs x2 only in the fused ell==1 form.
+    _nt = cpl * (2 if ell == 1 else ell)
+    _bound = (1 << (log_b - 1)) * (1 << 63) * n * _nt
+    assert math.prod(primes) > 2 * _bound, (
+        f"CRT range 2^{math.log2(math.prod(primes)):.2f} does not cover the "
+        f"contraction bound 2^{math.log2(2 * _bound):.2f}; raise nprimes"
+    )
 
-    fmat_np, imat_np = _mx3_matrices(n, npr)
-    fmat = jnp.asarray(fmat_np, jnp.bfloat16)  # [npr, 2, 4, NK, NK]
+    fmat_np, imat_np = _mx3_matrices(n, npr, nsplit)
+    fmat = jnp.asarray(fmat_np, jnp.bfloat16)  # [npr, 2, nsplit, 4, NK, NK]
     imat = jnp.asarray(imat_np, jnp.bfloat16)  # [npr, 2, 4, NK, 4NK]
     tf, tf_sh, ti, ti_sh = (jnp.asarray(t) for t in twisted_stage_tables(n, npr))
 
     rows = iter_rows
+    nacc = 2 if ell > 1 else 1  # eval-domain accumulators (U, V)
     fcols = rows * cpl * g_tile  # decomposition-digit columns
-    icols = 2 * rows * g_tile  # inverse columns (couts x rows)
+    half_cols = 2 * rows * g_tile  # inverse columns per accumulator
+    icols = nacc * half_cols  # inverse columns (acc x couts x rows)
 
     def fwd_stages(ref, tf_ref, tfsh_ref, q: int, p: int):
         """Twisted CT stages from stage 2 (mlen=2) on ref [nb, NK, fcols];
@@ -260,7 +303,7 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 u = ref[base : base + t]
                 v = ref[base + t : base + 2 * t]
                 u = _cond_sub(u, two_p)  # < 2p
-                vw = _shoup_lazy(w, w_sh, v, pp)  # < 2p (any u32 in)
+                vw = _cond_sub(_shoup_lazy3(w, w_sh, v, pp), two_p)  # < 2p
                 ref[base : base + t] = u + vw  # < 4p
                 ref[base + t : base + 2 * t] = u + (two_p - vw)  # < 4p
             mlen *= 2
@@ -286,7 +329,7 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 v = ref[base + t : base + 2 * t]
                 hi = _cond_sub(u + v, two_p)  # < 2p
                 d = u + (two_p - v)  # < 4p
-                lo = _shoup_lazy(w, w_sh, d, pp)  # < 2p
+                lo = _cond_sub(_shoup_lazy3(w, w_sh, d, pp), two_p)  # < 2p
                 ref[base : base + t] = hi
                 ref[base + t : base + 2 * t] = lo
             t *= 2
@@ -312,7 +355,14 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 digs = _decomp_pairs(wrk_lo_ref[r, c], wrk_hi_ref[r, c], l, log_b)
                 for lev in range(l):
                     col = (r * cpl + c * l + lev) * gt
-                    dig_ref[:, :, col : col + gt] = digs[lev].astype(jnp.bfloat16)
+                    d = digs[lev]
+                    if nsplit == 1:
+                        dig_ref[0, :, :, col : col + gt] = d.astype(jnp.bfloat16)
+                    else:
+                        d1 = (d + 128) >> 8  # |d1| <= 2^(log_b-9)
+                        d0 = d - (d1 << 8)  # |d0| <= 128
+                        dig_ref[0, :, :, col : col + gt] = d0.astype(jnp.bfloat16)
+                        dig_ref[1, :, :, col : col + gt] = d1.astype(jnp.bfloat16)
 
         for q in range(npr):  # static prime loop
             p = primes[q]
@@ -326,61 +376,103 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
             for r in range(rows):
                 rc = r * cpl * gt
                 rw = cpl * gt
+                def fwd_mm(var, b):
+                    """4 limb matmul outputs, summed over digit splits."""
+                    outs = []
+                    for i in range(4):
+                        s = None
+                        for sp in range(nsplit):
+                            d = jax.lax.dot_general(
+                                fmat_ref[q, var, sp, i],
+                                dig_ref[sp, b][:, rc : rc + rw],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            s = d if s is None else s + d
+                        outs.append(s)
+                    return outs
+
                 if nb > 1:
                     for b in range(half):
-                        s0, s1 = [], []
-                        for i in range(4):
-                            s0.append(jax.lax.dot_general(
-                                fmat_ref[q, 0, i], dig_ref[b][:, rc : rc + rw],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            ))
-                            s1.append(jax.lax.dot_general(
-                                fmat_ref[q, 1, i], dig_ref[b + half][:, rc : rc + rw],
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            ))
-                        a2 = _cond_sub(_combine_fwd(s0, p), two_p)  # < 2p
-                        b2 = _cond_sub(_combine_fwd(s1, p), two_p)  # < 2p
+                        s0 = fwd_mm(0, b)
+                        s1 = fwd_mm(1, b + half)
+                        a2 = _cond_sub(_cond_sub(_combine_fwd(s0, p), two_p), two_p)
+                        b2 = _cond_sub(_cond_sub(_combine_fwd(s1, p), two_p), two_p)
                         what_ref[b] = a2 + b2  # < 4p (stages tolerate)
                         what_ref[b + half] = a2 + (two_p - b2)  # < 4p
                     fwd_stages(what_ref, tf_ref, tfsh_ref, q, p)
                 else:
-                    ss = []
-                    for i in range(4):
-                        ss.append(jax.lax.dot_general(
-                            fmat_ref[q, 0, i], dig_ref[0][:, rc : rc + rw],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ))
-                    what_ref[0] = _cond_sub(_combine_fwd(ss, p), two_p)  # < 2p
-
-                for cout in range(2):
-                    eh = None
-                    for j in range(cpl):
-                        col = j * gt
-                        w = brk_ref[0, q, j, cout][:, :, None]
-                        w_sh = brks_ref[0, q, j, cout][:, :, None]
-                        prod = _shoup_lazy(w, w_sh, what_ref[:, :, col : col + gt], pp)
-                        eh = prod if eh is None else _cond_sub(eh + prod, two_p)
-                    av = a_ref[0, q][None]  # [1, NK, gt]
-                    avs = as_ref[0, q][None]
-                    bv = b_ref[0, q][:, None]  # [nb, 1, gt]
-                    bvs = bs_ref[0, q][:, None]
-                    t1 = _shoup_lazy(av, avs, eh, pp)  # < 2p
-                    t2 = _shoup_lazy(bv, bvs, t1, pp)  # < 2p
-                    ocol = (cout * rows + r) * gt
-                    est_ref[:, :, ocol : ocol + gt] = _cond_sub(
-                        t2 + (two_p - eh), two_p
+                    what_ref[0] = _cond_sub(
+                        _cond_sub(_combine_fwd(fwd_mm(0, 0), p), two_p), two_p
                     )  # < 2p
 
-            # ── inverse: stages, then per cout: last stage fold + limb
-            # split + matmuls (cout-chunked to halve the limb scratch) ──
+                for cout in range(2):
+                    def ext_product(m):
+                        # approximate-Shoup terms (< 3p), accumulator
+                        # reduced to < 2p before each add so the running
+                        # sum stays < 5p < 2^32 (modring.PRIMES).
+                        eh = None
+                        for j in range(cpl):
+                            col = j * gt
+                            w = brk_ref[0, m, q, j, cout][:, :, None]
+                            w_sh = brks_ref[0, m, q, j, cout][:, :, None]
+                            prod = _shoup_lazy3(
+                                w, w_sh, what_ref[:, :, col : col + gt], pp
+                            )
+                            if eh is None:
+                                eh = prod  # < 3p
+                            else:
+                                # < 5p at loop top -> two cond_subs -> < 2p
+                                eh = _cond_sub(_cond_sub(eh, two_p), two_p) + prod
+                        # eh < 5p; reduce to < 2p for the monomial
+                        return _cond_sub(_cond_sub(eh, two_p), two_p)  # < 2p
+
+                    def mono_mul(m, eh):
+                        """A_m * B_m * eh, < 3p."""
+                        av = a_ref[0, m, q][None]  # [1, NK, gt]
+                        avs = as_ref[0, m, q][None]
+                        bv = b_ref[0, m, q][:, None]  # [nb, 1, gt]
+                        bvs = bs_ref[0, m, q][:, None]
+                        t1 = _shoup_lazy3(av, avs, eh, pp)  # < 3p
+                        return _shoup_lazy3(bv, bvs, t1, pp)  # < 3p
+
+                    ocol = (cout * rows + r) * gt
+                    if ell == 1:
+                        eh = ext_product(0)
+                        t2 = mono_mul(0, eh)
+                        est_ref[:, :, ocol : ocol + gt] = _cond_sub(
+                            _cond_sub(t2 + (two_p - eh), two_p), two_p
+                        )  # (A*B - 1) * eh: t2 + (2p - eh) < 5p -> < 2p
+                    else:
+                        # block: U = sum_m A*B*eh_m (< 5p invariant),
+                        # V = sum_m eh_m (< 4p invariant)
+                        u_acc = v_acc = None
+                        for m in range(ell):
+                            eh = ext_product(m)  # < 2p
+                            t2 = mono_mul(m, eh)  # < 3p
+                            if u_acc is None:
+                                u_acc, v_acc = t2, eh
+                            else:
+                                u_acc = _cond_sub(
+                                    _cond_sub(u_acc, two_p), two_p
+                                ) + t2  # < 5p
+                                v_acc = _cond_sub(v_acc, two_p) + eh  # < 4p
+                        est_ref[:, :, ocol : ocol + gt] = _cond_sub(
+                            _cond_sub(u_acc, two_p), two_p
+                        )  # < 2p
+                        vcol = half_cols + ocol
+                        est_ref[:, :, vcol : vcol + gt] = _cond_sub(
+                            _cond_sub(v_acc, two_p), two_p
+                        )  # < 2p
+
+            # ── inverse: stages, then per column group (acc x cout):
+            # last stage fold + limb split + matmuls (group-chunked to
+            # bound the limb scratch) ──
             if nb > 1:
                 inv_stages(est_ref, ti_ref, tish_ref, q, p)
             rg = rows * gt
-            for cout in range(2):
-                cc = cout * rg
+            for grp in range(2 * nacc):
+                cc = grp * rg
                 if nb > 1:
                     for b in range(half):
                         u = est_ref[b][:, cc : cc + rg]
@@ -416,18 +508,27 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
 
         # ── Garner reconstruction mod 2^64 (u32 pairs) + accumulate ──
         # (balanced Garner as in fused_kms.garner_pairs, exact for any
-        # number of primes; e residues are canonical.)
+        # number of primes; e residues are canonical.)  Block (ell > 1):
+        # reconstruct U and V separately and accumulate U - V -- the
+        # subtraction wraps exactly on the 2^64 torus.
+        def _residues(col):
+            return lambda bb: [
+                est_ref[bb, :, col : col + gt]
+                if q == npr - 1
+                else e_ref[q, bb, :, col : col + gt]
+                for q in range(npr)
+            ]
+
         for cout in range(2):
             for r in range(rows):
                 col = (cout * rows + r) * gt
+                u_rs = _residues(col)
+                v_rs = _residues(half_cols + col) if ell > 1 else None
                 for bb in range(nb):  # per-b: keeps Garner temps small
-                    rs = [
-                        est_ref[bb, :, col : col + gt]
-                        if q == npr - 1
-                        else e_ref[q, bb, :, col : col + gt]
-                        for q in range(npr)
-                    ]
-                    dlo, dhi = garner_pairs(rs, ctx)
+                    dlo, dhi = garner_pairs(u_rs(bb), ctx)
+                    if ell > 1:
+                        elo, ehi = garner_pairs(v_rs(bb), ctx)
+                        dlo, dhi = _pair_sub(dlo, dhi, elo, ehi)
                     alo, ahi = _pair_add(
                         wrk_lo_ref[r, cout, bb], wrk_hi_ref[r, cout, bb], dlo, dhi
                     )
@@ -456,7 +557,7 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
             ),
             grid=(g // gt, n_steps),
             in_specs=[
-                pl.BlockSpec(fmat.shape, lambda b, s: (0,) * 5, memory_space=pltpu.VMEM),
+                pl.BlockSpec(fmat.shape, lambda b, s: (0,) * 6, memory_space=pltpu.VMEM),
                 pl.BlockSpec(imat.shape, lambda b, s: (0,) * 5, memory_space=pltpu.VMEM),
                 pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -464,19 +565,19 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, npr, NK, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, npr, NK, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, npr, nb, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, npr, nb, gt), lambda b, s: (s, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ell, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ell, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ell, npr, NK, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ell, npr, NK, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ell, npr, nb, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ell, npr, nb, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((nb, NK, rows * cpl * g_tile), jnp.bfloat16),  # dig
+                pltpu.VMEM((nsplit, nb, NK, rows * cpl * g_tile), jnp.bfloat16),  # dig
                 pltpu.VMEM((nb, NK, cpl * g_tile), U32),  # what (per row)
                 pltpu.VMEM((nb, NK, icols), U32),  # est (inverse staging)
                 pltpu.VMEM((nb, 4 * NK, rows * g_tile), jnp.bfloat16),  # inv limbs (one cout)
@@ -499,26 +600,43 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
 
 
 def mx3_nprimes(params) -> int:
-    """Exact CRT prime count, as the mx/mx2 engines (nprimes_needed)."""
+    """Exact CRT prime count for the mx3 phase-1 engine.
+
+    Binary-key presets fuse the monomial as (A*B - 1), doubling the
+    reconstruction bound (as mx/mx2).  Block presets use the U/V split
+    (see make_mx3_sweep_kernel), whose per-accumulator bound carries the
+    ell member sum instead of the factor 2."""
     from ..ring.context import nprimes_needed
+    from ..schemes.params import KmsBlockParams
 
     half_b = 1 << (params.log_b_gsw - 1)
-    return nprimes_needed(
-        params.ring_torus_bits, params.big_n, [(half_b, params.l_gsw * 2 * 2)]
-    )
+    if isinstance(params, KmsBlockParams):
+        nt = params.l_gsw * 2 * params.ell
+    else:
+        nt = params.l_gsw * 2 * 2
+    return nprimes_needed(params.ring_torus_bits, params.big_n, [(half_b, nt)])
 
 
 # mx3 consumes the same exact mx-domain key material as mx2; reuse its
-# builder and container (one conversion serves both engines).
+# builder and container (one conversion serves both engines).  Block
+# presets differ only in the prime count (U/V-split bound).
 Mx3KmsKeys = MxKmsKeys
-build_mx3_kms_keys = build_mx_kms_keys
+
+
+def build_mx3_kms_keys(party_keys, params, chunk: int = 80) -> Mx3KmsKeys:
+    return build_mx_kms_keys(party_keys, params, chunk=chunk, npr=mx3_nprimes(params))
 
 
 def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: RingCtx, g_tile: int = 128, interpret: bool = False, derive_mid: bool = False):
     """mx3 KMS phase 1 for one party (same contract as kms_phase1_mx2).
 
-    Bit-identical to kms.phase1 / kms_phase1_mx2 -- same exact integers
-    (tests/test_fused_mx3.py) -- unless derive_mid is set.
+    Handles both the binary-key rotation (KmsParams) and the block-binary
+    variant (KmsBlockParams: one decomposition + forward NTT per d-block
+    shared by ell members, the reference's bootstrapping.jl:599-659).
+
+    Bit-identical to kms.phase1 / kms.phase1_block / kms_phase1_mx2 --
+    same exact integers (tests/test_fused_mx3.py) -- unless derive_mid is
+    set.
 
     derive_mid (l_lev == 3 only): sweep rows 0 and 2 and DERIVE row 1 as
     2^log_b_lev * row2 on the torus (the RLEV messages satisfy
@@ -533,6 +651,7 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
     from ..ciphertext.rlwe import gadget_gvec
     from ..ring.ntt import fwd_ntt
     from ..ring.torus import lift
+    from ..schemes.params import KmsBlockParams
 
     npr = brk_p.shape[1]
     assert npr == mx3_nprimes(params), (
@@ -543,11 +662,14 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
     nb = plan.nb
     g = tildea_p.shape[0]
     n = params.big_n
-    n_steps = tildea_p.shape[1]
+    ell = params.ell if isinstance(params, KmsBlockParams) else 1
+    n_steps = tildea_p.shape[1] // ell
     g_tile = min(g_tile, g)
     assert g % g_tile == 0, f"batch {g} not a multiple of g_tile {g_tile}"
 
-    derive_mid = bool(derive_mid) and iter_rows == 3 and params.l_lev == 3
+    derive_mid = (
+        bool(derive_mid) and iter_rows == 3 and params.l_lev == 3 and ell == 1
+    )
     out_rows = iter_rows
     gvec = gadget_gvec(params.l_lev, params.log_b_lev, ctx_p.dtype)[:iter_rows]
     if derive_mid:
@@ -558,11 +680,17 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
     acc_lo = acc_lo.at[:, 0, 0, 0, :].set((gvec & jnp.uint64(0xFFFFFFFF)).astype(U32)[:, None])
     acc_hi = acc_hi.at[:, 0, 0, 0, :].set((gvec >> 32).astype(U32)[:, None])
 
-    brk_steps = brk_p.reshape(n_steps, npr, -1, 2, nb, NK)
+    # key row i = ell*block + member, matching the reference's
+    # brk.reshape(d, ell, ...) / ta.reshape(d, ell) blocking
+    brk_steps = brk_p.reshape(n_steps, ell, npr, -1, 2, nb, NK)
     brk_sh_steps = brk_sh_p.reshape(*brk_steps.shape)
     a_fac, a_sh, b_fac, b_sh = _gather_mono_factors(
         tildea_p.astype(jnp.int32), n, npr
     )
+    a_fac = a_fac.reshape(n_steps, ell, *a_fac.shape[1:])
+    a_sh = a_sh.reshape(*a_fac.shape)
+    b_fac = b_fac.reshape(n_steps, ell, *b_fac.shape[1:])
+    b_sh = b_sh.reshape(*b_fac.shape)
 
     # Row-chunked sweeps: the RLEV rows never interact during the
     # rotation, so they run as separate kernel calls.  Two rows per body
@@ -574,7 +702,7 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
         c = 2 if left >= 2 else 1
         chunks.append(c)
         left -= c
-    sweeps = {c: make_mx3_sweep_kernel(params, ctx_p, c, n_steps, g_tile, interpret)
+    sweeps = {c: make_mx3_sweep_kernel(params, ctx_p, c, n_steps, g_tile, interpret, ell=ell)
               for c in set(chunks)}
     outs_lo, outs_hi = [], []
     r0 = 0
@@ -603,16 +731,15 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "pallas_ntt", "g_tile", "derive_mid"))
 def bootstrap_mx3(ct, scheme, mx_keys: Mx3KmsKeys, params, interpret: bool = False, pallas_ntt: bool = True, g_tile: int = 128, derive_mid: bool = False):
     """KMS bootstrap with the mx3 phase-1 engine (phase 2 / key switch as
-    in schemes.kms).  derive_mid: see kms_phase1_mx3 (l_lev == 3 presets
-    sweep 2 of 3 RLEV rows and derive the middle one -- a measured
-    noise-for-speed trade, still far above the 6-sigma margin bar)."""
+    in schemes.kms).  Serves both KmsParams and KmsBlockParams -- the
+    phase-1 sweep dispatches on the preset type; phase 2 and the key
+    switch are shared.  derive_mid: see kms_phase1_mx3 (l_lev == 3
+    binary-key presets sweep 2 of 3 RLEV rows and derive the middle one
+    -- a measured noise-for-speed trade BELOW the 6-sigma margin bar at
+    KMS8; kept for measurement only)."""
     from ..schemes.common import initial_acc, mod_switch_2n
     from ..schemes.kms import _ctx, _keyswitch, _phase2_party
-    from ..schemes.params import KmsBlockParams
 
-    assert not isinstance(params, KmsBlockParams), (
-        "the mx3 phase-1 kernel implements the binary-key rotation"
-    )
     ctx = _ctx(params)
     k = params.k
     tildeb, tildea = mod_switch_2n(ct, params.big_n)

@@ -76,6 +76,33 @@ def _shoup_lazy(w, w_sh, a, p):
     return w * a - _mulhi(w_sh, a) * p
 
 
+def _shoup_lazy3(w, w_sh, a, p):
+    """Shoup multiply with a 3-multiply APPROXIMATE mulhi: result in
+    [0, 3p), congruent to w*a mod p, for any a < 2^32.
+
+    The exact mulhi is four 16x16 partial products; dropping the
+    low-low product ll = w_sh.lo * a.lo can only lower the quotient
+    estimate, and by at most 1 (ll >> 16 < 2^16 added into a value whose
+    floor-div by 2^16 is taken).  Combined with the lazy estimate's own
+    -1, the quotient is off by at most 2 below, so r = w*a - q*p lands in
+    [0, 3p).  Valid because modring.PRIMES satisfy 6p < 2^32: a single
+    result fits easily and two results sum without u32 overflow.
+
+    Saves 1 multiply + 2 adds/shifts per call vs _shoup_lazy; the caller
+    pays for the looser bound with conditional subtractions only where an
+    invariant needs them.
+    """
+    m16 = U32(0xFFFF)
+    x0 = w_sh & m16
+    x1 = w_sh >> 16
+    y0 = a & m16
+    y1 = a >> 16
+    hl = x1 * y0
+    lh = x0 * y1
+    q = x1 * y1 + (hl >> 16) + ((lh + (hl & m16)) >> 16)
+    return w * a - q * p
+
+
 @functools.lru_cache(maxsize=None)
 def stage_tables(n: int, nprimes: int):
     """Per-stage full-length tables for the roll+select butterflies.

@@ -14,9 +14,11 @@ multiplies per modular multiplication).
 
 Primes: p ≡ 1 (mod 2^13) so a 2N-th root of unity exists for every ring
 dimension N ≤ 4096 used by the parameter presets (N = 1024, 2048;
-/root/reference/src/tfhe/params.jl:4,50).  p < 2^30 leaves two bits of
-headroom: Shoup products land in [0, 2p) ⊂ [0, 2^31), and four fully
-reduced values can be accumulated in a uint32 without overflow.
+/root/reference/src/tfhe/params.jl:4,50).  p < 2^32/6 (≈ 2^29.42) leaves
+the headroom the lazy kernels exploit: Shoup products land in [0, 2p),
+an APPROXIMATE-quotient Shoup product (error ≤ 1, see the hot kernels)
+lands in [0, 3p), and two such products can be summed in a uint32
+(6p < 2^32) before any conditional subtraction.
 """
 
 from __future__ import annotations
@@ -26,17 +28,23 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-# NTT-friendly primes, each ≡ 1 (mod 2^13), just below 2^30, with a known
-# primitive root.  Two primes (2^60 of CRT range) cover every uint32-torus
-# contraction in the framework; three (2^90) cover the uint64-torus KMS
-# contractions.  See mktfhe_tpu/schemes/params.py for the per-scheme bound
-# verification.
-PRIMES: tuple[int, ...] = (1073692673, 1073668097, 1073651713, 1073643521)
+# NTT-friendly primes, each ≡ 1 (mod 2^13), just below 2^32/6, with a
+# known primitive root.  Two primes (2^58.8 of CRT range) cover every
+# uint32-torus contraction in the framework; three (2^88.2) cover the
+# uint64-torus KMS contractions except KMS2party's log_b=12 gadget (2^89.6
+# bound -> 4 primes).  See mktfhe_tpu/schemes/params.py for the per-scheme
+# bound verification.  Round 5 moved these down from just-below-2^30:
+# 6p < 2^32 is what lets the sweep kernels replace the exact 4-multiply
+# mulhi with a 3-multiply approximate one (error ≤ 1, products < 3p,
+# pairwise-summable without overflow) -- a ~25% cut of the dominant VPU
+# modmul cost -- while 3 primes still exceed the 2^87 KMS8 contraction
+# bound.
+PRIMES: tuple[int, ...] = (715825153, 715726849, 715694081, 715358209)
 _PRIMITIVE_ROOTS: dict[int, int] = {
-    1073692673: 3,
-    1073668097: 3,
-    1073651713: 10,
-    1073643521: 6,
+    715825153: 5,
+    715726849: 11,
+    715694081: 3,
+    715358209: 13,
 }
 
 U32 = jnp.uint32
@@ -127,10 +135,11 @@ def negmod(a, p):
 
 
 def reduce_u32(x, p):
-    """x mod p for any uint32 x; p > 2^29 so floor(x/p) <= 4."""
+    """x mod p for any uint32 x; p > 2^29 so floor(x/p) <= 7."""
     p = U32(p)
     two_p = p + p
-    x = jnp.where(x >= two_p, x - two_p, x)
+    four_p = two_p + two_p
+    x = jnp.where(x >= four_p, x - four_p, x)
     x = jnp.where(x >= two_p, x - two_p, x)
     return jnp.where(x >= p, x - p, x)
 

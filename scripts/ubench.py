@@ -74,7 +74,7 @@ def bench_mxu_int8_batched(b=9, m=1 << 14, reps=20):
 def bench_vpu_shoup(m=1 << 22, chain=16, reps=20):
     from mktfhe_tpu.ring.modring import shoup, shoup_mul
 
-    p = 1073692673
+    p = 715825153
     w = 123456789 % p
     wsh = shoup(w, p)
 
@@ -125,7 +125,7 @@ def bench_pointwise_ext(g=128, reps=10):
     from mktfhe_tpu.ring.modring import modsum, shoup_mul
 
     npr, rows, l, n = 3, 3, 4, 2048
-    p = np.array([1073692673, 1073668097, 1073651713], np.uint32).reshape(
+    p = np.array([715825153, 715726849, 715694081], np.uint32).reshape(
         npr, 1, 1, 1, 1, 1
     )
     brk_h = jnp.array(

@@ -123,6 +123,69 @@ def test_mx3_phase1_gtile_split():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_mx3_phase1_wide_gadget_bit_identical():
+    """log_b > 9 (the KMS2party-style wide gadget): the base-256 digit
+    split planes + 2^8-scaled matrix set, bit-exact vs kms.phase1."""
+    _phase1_cases(dataclasses.replace(TINYMX2, log_b_gsw=12))
+
+
+def test_mx3_phase1_block_bit_identical():
+    """Block-binary phase 1 (U/V split) vs kms.phase1_block, bit-exact."""
+    from mktfhe_tpu.schemes.params import KmsBlockParams
+
+    params = KmsBlockParams(
+        d=3, ell=3, alpha=16.0, f=8, log_d=2, big_n=256, beta=4.0,
+        l_gsw=3, log_b_gsw=8, l_lev=2, log_b_lev=8, l_uni=3, log_b_uni=8, k=2,
+    )
+    _, a, parties, scheme = _setup(params)
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+    rng = np.random.default_rng(21)
+    g = 4
+    tildea_p = jnp.asarray(
+        rng.integers(0, 2 * params.big_n, size=(g, params.n), dtype=np.int64
+        ).astype(np.int32)
+    )
+    for party, rows in [(0, 1), (1, params.l_lev)]:
+        ref = kms.phase1_block(
+            tildea_p, scheme.brk_hat[party], scheme.brk_shoup[party],
+            rows, scheme, params, ctx,
+        )
+        got = kms_phase1_mx3(
+            tildea_p, keys3.brk_mx[party], keys3.brk_mx_shoup[party],
+            rows, params, ctx, g_tile=4, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mx3_bootstrap_block_bit_identical():
+    """Full block-preset bootstrap through the mx3 engine vs kms.bootstrap."""
+    from mktfhe_tpu.schemes.params import KmsBlockParams
+
+    params = KmsBlockParams(
+        d=3, ell=3, alpha=16.0, f=8, log_d=2, big_n=256, beta=4.0,
+        l_gsw=3, log_b_gsw=8, l_lev=2, log_b_lev=8, l_uni=3, log_b_uni=8, k=2,
+    )
+    _, a, parties, scheme = _setup(params)
+    lwe_keys = [p[0] for p in parties]
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+    rng = np.random.default_rng(23)
+    g = 4
+    m1 = rng.integers(0, 2, size=g).astype(bool)
+    m2 = rng.integers(0, 2, size=g).astype(bool)
+    ct1 = lwe_ith_encrypt_bit(
+        jax.random.key(1), jnp.array(m1), 0, lwe_keys[0], params.alpha, params.k, (g,)
+    )
+    ct2 = lwe_ith_encrypt_bit(
+        jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, params.k, (g,)
+    )
+    ct = gate_affine(0, ct1, ct2)
+    ref = kms.bootstrap(ct, scheme, params)
+    got = bootstrap_mx3(ct, scheme, keys3, params, interpret=True, g_tile=4)
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+
+
 def test_mx3_bootstrap_bit_identical():
     params = TINYMX2
     _, a, parties, scheme = _setup(params)

@@ -28,11 +28,18 @@ def _digest(*arrays) -> str:
 
 
 def test_ntt_golden():
+    # NOTE: this digest pins the eval-domain REPRESENTATION, so it changes
+    # whenever ring.modring.PRIMES changes (round 5: 30-bit -> 29.4-bit
+    # primes for the approximate-Shoup kernels).  The bootstrap goldens
+    # below pin torus-domain ciphertext bits, which are prime-independent
+    # (the NTT is only a means to exact integer convolution) -- they
+    # survived the prime change unchanged, which is itself evidence the
+    # pipeline stays exact.
     plan = make_plan(64, 2)
     crt = make_crt_plan(2)
     x = jnp.arange(64, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
     hat = fwd_ntt(lift_u32(x, crt), plan)
-    assert _digest(hat) == "637359dca9253afc", _digest(hat)
+    assert _digest(hat) == "f97a3773cff6b44e", _digest(hat)
 
 
 def test_cggi_bootstrap_golden():
