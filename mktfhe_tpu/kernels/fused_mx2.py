@@ -388,7 +388,7 @@ class MxKmsKeys:
     brk_mx_shoup: jnp.ndarray
 
 
-def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = None) -> MxKmsKeys:
+def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = None, store_shoup: bool = True) -> MxKmsKeys:
     """Convert KMS party keys (torus domain) for the mx engines.
 
     Pipelined over n-bit chunks across ALL parties (round 2 transformed one
@@ -397,7 +397,12 @@ def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = Non
     device pipeline across parties and chunks).
 
     npr overrides the CRT prime count (mx3's block presets use a
-    different reconstruction bound, fused_mx3.mx3_nprimes)."""
+    different reconstruction bound, fused_mx3.mx3_nprimes).
+
+    store_shoup=False skips the Shoup companion table (brk_mx_shoup is
+    None), HALVING resident key HBM -- what lets KMS16party fit one v5e.
+    Only the mx3 engine can consume such keys (it derives approximate
+    companions in-kernel, make_mx3_sweep_kernel)."""
     from ..ring.context import nprimes_needed
     from ..ring.torus import lift
     from .mx_ntt import mx_fwd_ref
@@ -418,6 +423,8 @@ def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = Non
         hat = jnp.transpose(hat, (0, 4, 1, 2, 3, 5)).reshape(
             c, npr, cin * l, cout, ctx.n
         )
+        if not store_shoup:
+            return hat, None
         p = jnp.asarray(np.asarray(plan.primes, np.uint64))[:, None, None, None]
         sh = ((hat.astype(jnp.uint64) << 32) // p).astype(U32)
         return hat, sh
@@ -433,10 +440,11 @@ def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = Non
             phs.append(h)
             pss.append(s)
         hats.append(jnp.concatenate(phs, axis=0))
-        shs.append(jnp.concatenate(pss, axis=0))
+        if store_shoup:
+            shs.append(jnp.concatenate(pss, axis=0))
     return MxKmsKeys(
         brk_mx=jnp.stack(hats),
-        brk_mx_shoup=jnp.stack(shs),
+        brk_mx_shoup=jnp.stack(shs) if store_shoup else None,
     )
 
 

@@ -223,7 +223,7 @@ def _split4_bf16(v):
     return limbs
 
 
-def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_tile: int, interpret: bool, ell: int = 1):
+def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_tile: int, interpret: bool, ell: int = 1, has_shoup: bool = True):
     """Build sweep(acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh).
 
     Same contract as fused_mx2.make_mx_sweep_kernel but with the mx3
@@ -244,6 +244,15 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
     2^64 torus (exact wrap).  The split keeps each reconstruction bound at
     ell * 2l * N * B/2 * 2^63 -- the fused (A*B-1) accumulation would
     need 2x that, pushing KMS8partyblock past the 3-prime CRT range.
+
+    has_shoup=False drops the stored Shoup companion table (halving brk
+    HBM -- what lets KMS16party fit one chip) and instead derives an
+    approximate companion per step in-kernel: q0 = w*m1 + mulhi(w, m0)
+    with 2^64/p = m1*2^32 + m0 underestimates floor(w*2^32/p) by at most
+    1, so external products land in [0, 4p) instead of [0, 3p) -- the
+    accumulation chain already tolerates that (6p < 2^32).  Costs ~0.2%
+    of the step (the companion table is 1/g_tile the size of the data it
+    multiplies).
 
     The kernel body sizes every scratch buffer and column stride with
     g_tile, so the gate batch must be a multiple of g_tile -- callers
@@ -335,12 +344,23 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
             t *= 2
             mlen = h
 
-    def kernel(fmat_ref, imat_ref, tf_ref, tfsh_ref, ti_ref, tish_ref,
-               acc_lo_ref, acc_hi_ref, brk_ref, brks_ref,
-               a_ref, as_ref, b_ref, bs_ref,
-               out_lo_ref, out_hi_ref,
-               dig_ref, what_ref, est_ref, limb_ref, e_ref,
-               wrk_lo_ref, wrk_hi_ref):
+    def kernel(*refs):
+        if has_shoup:
+            (fmat_ref, imat_ref, tf_ref, tfsh_ref, ti_ref, tish_ref,
+             acc_lo_ref, acc_hi_ref, brk_ref, brks_ref,
+             a_ref, as_ref, b_ref, bs_ref,
+             out_lo_ref, out_hi_ref,
+             dig_ref, what_ref, est_ref, limb_ref, e_ref,
+             wrk_lo_ref, wrk_hi_ref) = refs
+            brks_scr = None
+        else:
+            (fmat_ref, imat_ref, tf_ref, tfsh_ref, ti_ref, tish_ref,
+             acc_lo_ref, acc_hi_ref, brk_ref,
+             a_ref, as_ref, b_ref, bs_ref,
+             out_lo_ref, out_hi_ref,
+             dig_ref, what_ref, est_ref, limb_ref, e_ref,
+             wrk_lo_ref, wrk_hi_ref, brks_scr) = refs
+            brks_ref = None
         s = pl.program_id(1)
         gt = g_tile
 
@@ -348,6 +368,18 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
         def _init():
             wrk_lo_ref[...] = acc_lo_ref[...]
             wrk_hi_ref[...] = acc_hi_ref[...]
+
+        if not has_shoup:
+            # derive approximate Shoup companions for this step's brk rows
+            # (underestimate <= 1; external products then land in [0,4p),
+            # which the 6p < 2^32 accumulation chain absorbs)
+            for q in range(npr):
+                p = primes[q]
+                m = (1 << 64) // p
+                m1 = U32(m >> 32)
+                m0 = U32(m & 0xFFFFFFFF)
+                w = brk_ref[0, :, q]
+                brks_scr[:, q] = w * m1 + _mulhi(w, m0)
 
         # gadget decomposition once per step, shared by all primes
         for r in range(rows):
@@ -415,7 +447,10 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                         for j in range(cpl):
                             col = j * gt
                             w = brk_ref[0, m, q, j, cout][:, :, None]
-                            w_sh = brks_ref[0, m, q, j, cout][:, :, None]
+                            if has_shoup:
+                                w_sh = brks_ref[0, m, q, j, cout][:, :, None]
+                            else:
+                                w_sh = brks_scr[m, q, j, cout][:, :, None]
                             prod = _shoup_lazy3(
                                 w, w_sh, what_ref[:, :, col : col + gt], pp
                             )
@@ -445,24 +480,33 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                         )  # (A*B - 1) * eh: t2 + (2p - eh) < 5p -> < 2p
                     else:
                         # block: U = sum_m A*B*eh_m (< 5p invariant),
-                        # V = sum_m eh_m (< 4p invariant)
-                        u_acc = v_acc = None
+                        # V = sum_m eh_m (< 4p invariant); accumulate
+                        # IN est_ref to keep the member loop's live set
+                        # at one slab (the SSA form blew the Mosaic
+                        # scoped-VMEM budget at rows=2)
+                        vcol = half_cols + ocol
                         for m in range(ell):
                             eh = ext_product(m)  # < 2p
                             t2 = mono_mul(m, eh)  # < 3p
-                            if u_acc is None:
-                                u_acc, v_acc = t2, eh
+                            if m == 0:
+                                est_ref[:, :, ocol : ocol + gt] = t2
+                                est_ref[:, :, vcol : vcol + gt] = eh
                             else:
-                                u_acc = _cond_sub(
-                                    _cond_sub(u_acc, two_p), two_p
-                                ) + t2  # < 5p
-                                v_acc = _cond_sub(v_acc, two_p) + eh  # < 4p
+                                u = est_ref[:, :, ocol : ocol + gt]
+                                est_ref[:, :, ocol : ocol + gt] = (
+                                    _cond_sub(_cond_sub(u, two_p), two_p) + t2
+                                )  # < 5p
+                                v = est_ref[:, :, vcol : vcol + gt]
+                                est_ref[:, :, vcol : vcol + gt] = (
+                                    _cond_sub(v, two_p) + eh
+                                )  # < 4p
+                        u = est_ref[:, :, ocol : ocol + gt]
                         est_ref[:, :, ocol : ocol + gt] = _cond_sub(
-                            _cond_sub(u_acc, two_p), two_p
+                            _cond_sub(u, two_p), two_p
                         )  # < 2p
-                        vcol = half_cols + ocol
+                        v = est_ref[:, :, vcol : vcol + gt]
                         est_ref[:, :, vcol : vcol + gt] = _cond_sub(
-                            _cond_sub(v_acc, two_p), two_p
+                            _cond_sub(v, two_p), two_p
                         )  # < 2p
 
             # ── inverse: stages, then per column group (acc x cout):
@@ -548,7 +592,44 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
             "(the body hardcodes g_tile strides; resolve g_tile before "
             "building the kernel, as kms_phase1_mx3 does)"
         )
+        assert has_shoup == (brk_sh is not None)
         acc_shape = (rows, 2, nb, NK, gt)
+        brk_spec = pl.BlockSpec(
+            (1, ell, npr, cpl, 2, nb, NK),
+            lambda b, s: (s, 0, 0, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = [
+            pl.BlockSpec(fmat.shape, lambda b, s: (0,) * 6, memory_space=pltpu.VMEM),
+            pl.BlockSpec(imat.shape, lambda b, s: (0,) * 5, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
+            brk_spec,
+        ] + ([brk_spec] if has_shoup else []) + [
+            pl.BlockSpec((1, ell, npr, NK, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ell, npr, NK, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ell, npr, nb, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ell, npr, nb, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((nsplit, nb, NK, rows * cpl * g_tile), jnp.bfloat16),  # dig
+            pltpu.VMEM((nb, NK, cpl * g_tile), U32),  # what (per row)
+            pltpu.VMEM((nb, NK, icols), U32),  # est (inverse staging)
+            pltpu.VMEM((nb, 4 * NK, rows * g_tile), jnp.bfloat16),  # inv limbs (one group)
+            pltpu.VMEM((npr - 1, nb, NK, icols), U32),  # e residues (last prime reuses est)
+            pltpu.VMEM(acc_shape, U32),  # resident acc lo
+            pltpu.VMEM(acc_shape, U32),  # resident acc hi
+        ] + ([] if has_shoup else [
+            pltpu.VMEM((ell, npr, cpl, 2, nb, NK), U32)  # derived companions
+        ])
+        args = [fmat, imat, tf, tf_sh, ti, ti_sh, acc_lo, acc_hi, brk]
+        if has_shoup:
+            args.append(brk_sh)
+        args += [a_fac, a_sh, b_fac, b_sh]
         return x32_trace(pl.pallas_call(
             kernel,
             out_shape=(
@@ -556,42 +637,18 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 jax.ShapeDtypeStruct(acc_hi.shape, U32),
             ),
             grid=(g // gt, n_steps),
-            in_specs=[
-                pl.BlockSpec(fmat.shape, lambda b, s: (0,) * 6, memory_space=pltpu.VMEM),
-                pl.BlockSpec(imat.shape, lambda b, s: (0,) * 5, memory_space=pltpu.VMEM),
-                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(tf.shape, lambda b, s: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ell, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ell, npr, cpl, 2, nb, NK), lambda b, s: (s, 0, 0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ell, npr, NK, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ell, npr, NK, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ell, npr, nb, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ell, npr, nb, gt), lambda b, s: (s, 0, 0, 0, b), memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec(acc_shape, lambda b, s: (0, 0, 0, 0, b), memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((nsplit, nb, NK, rows * cpl * g_tile), jnp.bfloat16),  # dig
-                pltpu.VMEM((nb, NK, cpl * g_tile), U32),  # what (per row)
-                pltpu.VMEM((nb, NK, icols), U32),  # est (inverse staging)
-                pltpu.VMEM((nb, 4 * NK, rows * g_tile), jnp.bfloat16),  # inv limbs (one cout)
-                pltpu.VMEM((npr - 1, nb, NK, icols), U32),  # e residues (last prime reuses est)
-                pltpu.VMEM(acc_shape, U32),  # resident acc lo
-                pltpu.VMEM(acc_shape, U32),  # resident acc hi
-            ],
+            scratch_shapes=scratch,
             input_output_aliases={6: 0, 7: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=116 * 1024 * 1024
             ),
             interpret=interpret,
-        ))(fmat, imat, tf, tf_sh, ti, ti_sh,
-           acc_lo, acc_hi, brk, brk_sh, a_fac, a_sh, b_fac, b_sh)
+        ))(*args)
 
     return sweep
 
@@ -623,8 +680,11 @@ def mx3_nprimes(params) -> int:
 Mx3KmsKeys = MxKmsKeys
 
 
-def build_mx3_kms_keys(party_keys, params, chunk: int = 80) -> Mx3KmsKeys:
-    return build_mx_kms_keys(party_keys, params, chunk=chunk, npr=mx3_nprimes(params))
+def build_mx3_kms_keys(party_keys, params, chunk: int = 80, store_shoup: bool = True) -> Mx3KmsKeys:
+    return build_mx_kms_keys(
+        party_keys, params, chunk=chunk, npr=mx3_nprimes(params),
+        store_shoup=store_shoup,
+    )
 
 
 def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: RingCtx, g_tile: int = 128, interpret: bool = False, derive_mid: bool = False):
@@ -682,8 +742,9 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
 
     # key row i = ell*block + member, matching the reference's
     # brk.reshape(d, ell, ...) / ta.reshape(d, ell) blocking
+    has_shoup = brk_sh_p is not None
     brk_steps = brk_p.reshape(n_steps, ell, npr, -1, 2, nb, NK)
-    brk_sh_steps = brk_sh_p.reshape(*brk_steps.shape)
+    brk_sh_steps = brk_sh_p.reshape(*brk_steps.shape) if has_shoup else None
     a_fac, a_sh, b_fac, b_sh = _gather_mono_factors(
         tildea_p.astype(jnp.int32), n, npr
     )
@@ -695,14 +756,18 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
     # Row-chunked sweeps: the RLEV rows never interact during the
     # rotation, so they run as separate kernel calls.  Two rows per body
     # lets Mosaic overlap one row's matmuls with the other row's VPU
-    # chain; the full 3-row body exceeds the v5e scoped-vmem budget.
+    # chain; the full 3-row body exceeds the v5e scoped-vmem budget, as
+    # does a 2-row BLOCK body (the ell-member section roughly triples the
+    # live set), so block presets sweep one row per call.
+    max_rows = 1 if ell > 1 else 2
     chunks = []
     left = iter_rows
     while left > 0:
-        c = 2 if left >= 2 else 1
+        c = min(max_rows, left)
         chunks.append(c)
         left -= c
-    sweeps = {c: make_mx3_sweep_kernel(params, ctx_p, c, n_steps, g_tile, interpret, ell=ell)
+    sweeps = {c: make_mx3_sweep_kernel(params, ctx_p, c, n_steps, g_tile, interpret,
+                                       ell=ell, has_shoup=has_shoup)
               for c in set(chunks)}
     outs_lo, outs_hi = [], []
     r0 = 0
@@ -746,18 +811,29 @@ def bootstrap_mx3(ct, scheme, mx_keys: Mx3KmsKeys, params, interpret: bool = Fal
     g = tildea.shape[0]
     tild = jnp.moveaxis(tildea.reshape(g, k, params.n), 1, 0)  # [k, G, n]
 
+    sh = mx_keys.brk_mx_shoup
+    has_shoup = sh is not None and getattr(sh, "ndim", 0) > 1
     lev0 = kms_phase1_mx3(
-        tild[0], mx_keys.brk_mx[0], mx_keys.brk_mx_shoup[0],
+        tild[0], mx_keys.brk_mx[0], sh[0] if has_shoup else None,
         1, params, ctx, g_tile=g_tile, interpret=interpret,
     )
     if k > 1:
-        lev_rest = jax.lax.map(
-            lambda xs: kms_phase1_mx3(
-                xs[0], xs[1], xs[2], params.l_lev, params, ctx,
-                g_tile=g_tile, interpret=interpret, derive_mid=derive_mid,
-            ),
-            (tild[1:], mx_keys.brk_mx[1:], mx_keys.brk_mx_shoup[1:]),
-        )
+        if has_shoup:
+            lev_rest = jax.lax.map(
+                lambda xs: kms_phase1_mx3(
+                    xs[0], xs[1], xs[2], params.l_lev, params, ctx,
+                    g_tile=g_tile, interpret=interpret, derive_mid=derive_mid,
+                ),
+                (tild[1:], mx_keys.brk_mx[1:], sh[1:]),
+            )
+        else:
+            lev_rest = jax.lax.map(
+                lambda xs: kms_phase1_mx3(
+                    xs[0], xs[1], None, params.l_lev, params, ctx,
+                    g_tile=g_tile, interpret=interpret, derive_mid=derive_mid,
+                ),
+                (tild[1:], mx_keys.brk_mx[1:]),
+            )
         levkeys = [lev0] + [lev_rest[i] for i in range(k - 1)]
     else:
         levkeys = [lev0]

@@ -292,6 +292,24 @@ def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx,
     acc: [G, k+1, N] uint64 (components > p1 are zero); levkey:
     [G, iter, 2, npr, N].  Returns the new acc with component p1 filled.
     """
+    return _phase2_party_mat(
+        acc, levkey, p1,
+        scheme.rlk_d_hat[p1 - 1], scheme.rlk_d_shoup[p1 - 1],
+        scheme.rlk_f_hat[p1 - 1], scheme.rlk_f_shoup[p1 - 1],
+        scheme.pub_b_hat[: p1 - 1], scheme.pub_b_shoup[: p1 - 1],
+        scheme.crs_hat, scheme.crs_shoup,
+        params, ctx, pallas_ntt=pallas_ntt, interpret=interpret,
+    )
+
+
+def _phase2_party_mat(acc, levkey, p1: int, rd, rd_s, rf, rf_s, pub_h, pub_s, crs_hat, crs_shoup, params, ctx: RingCtx, pallas_ntt: bool = False, interpret: bool = False):
+    """_phase2_party with this step's key material passed explicitly:
+    rd/rd_s [l_uni, npr, N] (party p1's rlk d-vector), rf/rf_s
+    [l_uni, 2, npr, N] (its rlk RLEV part), pub_h/pub_s
+    [p1-1, l_uni, npr, N] (the EARLIER parties' public keys).  The
+    party-sharded phase-2 path (parallel/shardmap.py) broadcasts exactly
+    these slices per step instead of replicating the full k-party tables.
+    """
     fwd, inv = _ntt_fns(pallas_ntt, interpret)
     p = ctx.plan.primes[:, None]
     crt = ctx.crt
@@ -318,30 +336,24 @@ def _phase2_party(acc, levkey, p1: int, scheme: KmsScheme, params, ctx: RingCtx,
 
     # hybrid product of y with this party's rlk (bootstrapping.jl:506-553)
     yhat = _decomp_hat(y_t, params.l_uni, params.log_b_uni, ctx, fwd)  # [G,p1,l,npr,N]
-    rd = scheme.rlk_d_hat[p1 - 1][None, None]
-    rd_s = scheme.rlk_d_shoup[p1 - 1][None, None]
-    u = modsum(shoup_mul(rd, rd_s, yhat, p), -3, p)  # [G, p1, npr, N]
+    u = modsum(shoup_mul(rd[None, None], rd_s[None, None], yhat, p), -3, p)
 
     v0 = negmod(
         modsum(
-            shoup_mul(scheme.crs_hat[None], scheme.crs_shoup[None], yhat[:, 0], p),
+            shoup_mul(crs_hat[None], crs_shoup[None], yhat[:, 0], p),
             -3,
             p,
         ),
         p,
     )
     if p1 > 1:
-        pub_h = scheme.pub_b_hat[: p1 - 1][None]
-        pub_s = scheme.pub_b_shoup[: p1 - 1][None]
-        vi = modsum(shoup_mul(pub_h, pub_s, yhat[:, 1:], p), -3, p)
+        vi = modsum(shoup_mul(pub_h[None], pub_s[None], yhat[:, 1:], p), -3, p)
         v = addmod(v0, modsum(vi, -3, p), p)
     else:
         v = v0
     v_t = from_crt(inv(v, ctx.plan), crt, ctx.dtype)  # [G, N]
 
     vhat = _decomp_hat(v_t, params.l_uni, params.log_b_uni, ctx, fwd)  # [G, l, npr, N]
-    rf = scheme.rlk_f_hat[p1 - 1]
-    rf_s = scheme.rlk_f_shoup[p1 - 1]
     w_b = modsum(shoup_mul(rf[None, :, 0], rf_s[None, :, 0], vhat, p), -3, p)
     w_a = modsum(shoup_mul(rf[None, :, 1], rf_s[None, :, 1], vhat, p), -3, p)
 

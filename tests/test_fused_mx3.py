@@ -123,6 +123,31 @@ def test_mx3_phase1_gtile_split():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_mx3_phase1_no_stored_shoup_bit_identical():
+    """brk without a stored Shoup table (the KMS16 memory mode): the
+    kernel derives approximate companions in-kernel; outputs bit-match
+    the stored-shoup path exactly (same residues mod p)."""
+    params = TINYMX2
+    _, a, parties, scheme = _setup(params)
+    ctx = make_ring_ctx(params.big_n, params.ring_torus_bits, params.ring_nprimes)
+    keys3 = build_mx3_kms_keys([p[3] for p in parties], params, chunk=3)
+    rng = np.random.default_rng(31)
+    g = 4
+    tildea_p = jnp.asarray(
+        rng.integers(0, 2 * params.big_n, size=(g, params.n), dtype=np.int64
+        ).astype(np.int32)
+    )
+    ref = kms_phase1_mx3(
+        tildea_p, keys3.brk_mx[1], keys3.brk_mx_shoup[1],
+        params.l_lev, params, ctx, g_tile=4, interpret=True,
+    )
+    got = kms_phase1_mx3(
+        tildea_p, keys3.brk_mx[1], None,
+        params.l_lev, params, ctx, g_tile=4, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_mx3_phase1_wide_gadget_bit_identical():
     """log_b > 9 (the KMS2party-style wide gadget): the base-256 digit
     split planes + 2^8-scaled matrix set, bit-exact vs kms.phase1."""

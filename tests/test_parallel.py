@@ -191,3 +191,23 @@ def test_shardmap_party_only_mesh():
     out = kms_bootstrap_shardmap(ct, sh, params, mesh)
     np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
     np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+
+
+def test_shardmap_sharded_phase2():
+    """Party-sharded phase-2 residency (the PARALLEL.md k=32 plan, at k=8
+    tiny on a (party=4, batch=2) mesh, 2 parties per device): rlk/pub/ksk
+    live sharded, the owner psum-broadcasts its rlk rows per merge step,
+    and the key switch reassembles from party-partials (psum b, concat a).
+    Bit-identical to the replicated single-device path."""
+    from mktfhe_tpu.parallel import kms_bootstrap_shardmap, make_mesh, shard_scheme
+    from mktfhe_tpu.schemes import kms
+
+    params = graft._TINY8_PARAMS
+    ct, scheme = graft._make_inputs(params, g=8)
+    ref = kms.bootstrap(ct, scheme, params)
+
+    mesh = make_mesh(4, 2)
+    sh = shard_scheme(scheme, mesh)
+    out = kms_bootstrap_shardmap(ct, sh, params, mesh, shard_phase2=True)
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
