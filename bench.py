@@ -121,8 +121,11 @@ def main():
         for suf in ("-bm", "-fk", "-mx", "-mx2", "-mx3d", "-mx3"):
             if kstr.endswith(suf):
                 engine, kstr = suf[1:], kstr[: -len(suf)]
+        block = kstr.endswith("block")  # e.g. kms8block-mx3
+        if block:
+            kstr = kstr[:-5]
         k = int(kstr or 2)
-        params = ALL_PRESETS[f"KMS{k}party"]
+        params = ALL_PRESETS[f"KMS{k}party" + ("block" if block else "")]
         a = mod.crs(jax.random.key(0), params)
         parties = [
             mod.party_keygen(jax.random.key(1 + i), a, params) for i in range(k)
@@ -134,7 +137,9 @@ def main():
         elif engine in ("mx3", "mx3d"):
             from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3, build_mx3_kms_keys
 
-            p1_keys = build_mx3_kms_keys([p[3] for p in parties], params)
+            p1_keys = build_mx3_kms_keys(
+                [p[3] for p in parties], params, store_shoup=k < 16
+            )
             jax.block_until_ready(p1_keys.brk_mx)
             dm = engine == "mx3d"
             boot = lambda ct: bootstrap_mx3(
