@@ -15,8 +15,8 @@ return before dependent work actually completes, reporting physically
 impossible times; a dependency chain cannot be faked.
 
 Usage: python bench.py [scheme] [batch]
-  scheme: cggi | cggi-bm | cggi-fused | kms{k} | kms{k}-bm | kms{k}-fk |
-          kms{k}-mx | kms{k}-mx2 | kms{k}-mx3 | kms{k}-mx3d   (default
+  scheme: cggi | cggi-bm | cggi-fused | kms{k}[block] | kms{k}-bm |
+          kms{k}[block]-mx2 | kms{k}[block]-mx3 | kms{k}-mx3d   (default
           kms8-mx3: the restructured exact MXU phase-1 engine,
           kernels/fused_mx3.py; mx3d = derived-middle-row variant,
           48.4/s but BELOW the 6-sigma noise bar at KMS8 -- measured
@@ -118,7 +118,7 @@ def main():
 
         engine = "ref"  # bare kms{k} = jnp reference path (as perf_sweep)
         kstr = scheme_name[3:]
-        for suf in ("-bm", "-fk", "-mx", "-mx2", "-mx3d", "-mx3"):
+        for suf in ("-bm", "-mx2", "-mx3d", "-mx3"):
             if kstr.endswith(suf):
                 engine, kstr = suf[1:], kstr[: -len(suf)]
         block = kstr.endswith("block")  # e.g. kms8block-mx3
@@ -137,9 +137,12 @@ def main():
         elif engine in ("mx3", "mx3d"):
             from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3, build_mx3_kms_keys
 
+            pks = [p[3] for p in parties]
+            parties = [(p[0], p[1], p[2], None) for p in parties]
             p1_keys = build_mx3_kms_keys(
-                [p[3] for p in parties], params, store_shoup=k < 16
+                pks, params, store_shoup=k < 16, consume_brk=True
             )
+            del pks
             jax.block_until_ready(p1_keys.brk_mx)
             dm = engine == "mx3d"
             boot = lambda ct: bootstrap_mx3(
@@ -151,23 +154,12 @@ def main():
             p1_keys = build_mx_kms_keys([p[3] for p in parties], params)
             jax.block_until_ready(p1_keys.brk_mx)
             boot = lambda ct: bootstrap_mx2(ct, scheme, p1_keys, params, pallas_ntt=True)
-        elif engine == "mx":
-            from mktfhe_tpu.kernels.fused_mx import bootstrap_mx, build_mx_kms_phase1
-
-            p1_keys = build_mx_kms_phase1([p[3] for p in parties], params)
-            jax.block_until_ready(p1_keys.brk_mx)
-            boot = lambda ct: bootstrap_mx(ct, scheme, p1_keys, params, pallas_ntt=True)
         else:
             from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
 
             p1_keys = build_bm_kms_phase1([p[3] for p in parties], params)
             jax.block_until_ready(p1_keys.brk_bm)
-            if engine == "fk":
-                from mktfhe_tpu.kernels.fused_kms import bootstrap_fused_kms
-
-                boot = lambda ct: bootstrap_fused_kms(ct, scheme, p1_keys, params, pallas_ntt=True)
-            else:
-                boot = lambda ct: mod.bootstrap_bm(ct, scheme, p1_keys, params, pallas_ntt=True)
+            boot = lambda ct: mod.bootstrap_bm(ct, scheme, p1_keys, params, pallas_ntt=True)
         keygen_s = time.time() - t0
         ct2 = lwe_ith_encrypt_bit(
             jax.random.key(2), jnp.array(m2), 1, lwe_keys[1], params.alpha, k, (batch,)

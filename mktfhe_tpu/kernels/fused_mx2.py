@@ -50,11 +50,51 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ring.context import RingCtx, make_ring_ctx
 from ..ring.modring import shoup, _root_of_unity
 from .fused_kms import _decomp_pairs, _pair_add, garner_pairs
-from .fused_mx import _cond_sub, _digit_split, _fwd_ct_stages, _shoup_lazy
 from .mx_ntt import NK, MxPlan, from_mx_order, mx_plan
-from .ntt_pallas import x32_trace
+from .ntt_pallas import _shoup_lazy, x32_trace
 
 U32 = jnp.uint32
+
+
+# ── shared mx-kernel helpers (moved here from the retired round-2 mx
+# engine, fused_mx.py, when it was folded into history in round 5) ──
+
+
+def _cond_sub(x, c):
+    return jnp.where(x >= c, x - c, x)
+
+
+def _digit_split(log_b: int) -> int:
+    """Number of bf16 operands per gadget digit (|digit| <= 2^(log_b-1));
+    bf16 is exact for integers |v| <= 256, so one operand up to log_b=9,
+    two (base-512 split) up to log_b=18."""
+    return 1 if log_b <= 9 else 2
+
+
+def _fwd_ct_stages(ref, j: int, q: int, plan: MxPlan, p: int):
+    """Merged-twist CT stages of size nb along the leading axis of
+    ref[j] (shape [nb, NK, gt]), in place.  Harvey-lazy: values stay
+    < 4p in flight, output canonicalized to < 2p."""
+    nb = plan.nb
+    two_p = U32(2 * p)
+    pp = U32(p)
+    mlen, t = 1, nb
+    for _s in range(plan.s_count):
+        t //= 2
+        for blk in range(mlen):
+            w = U32(int(plan.bt[q, mlen + blk]))
+            w_sh = U32(int(plan.bt_sh[q, mlen + blk]))
+            base = 2 * blk * t
+            u = ref[j, base : base + t]
+            v = ref[j, base + t : base + 2 * t]
+            u = _cond_sub(u, two_p)  # < 2p
+            vw = _shoup_lazy(w, w_sh, v, pp)  # < 2p
+            ref[j, base : base + t] = u + vw  # < 4p
+            ref[j, base + t : base + 2 * t] = u + (two_p - vw)  # < 4p
+        mlen *= 2
+    x = ref[j]
+    x = _cond_sub(_cond_sub(x, two_p), two_p)
+    ref[j] = _cond_sub(x, two_p)  # < 2p
 
 
 def _bitrev_int(v: int, bits: int) -> int:
@@ -95,6 +135,41 @@ def mono_factor_tables(n: int, nprimes: int):
     return (
         np.stack(a_tabs), np.stack(a_shs), np.stack(b_tabs), np.stack(b_shs),
     )
+
+
+def mx_mono_table(ctx: RingCtx):
+    """Monomial table (X^a - 1) transformed to the mx domain -- the
+    validation ORACLE for mono_factor_tables (tests assert A*B - 1 ==
+    mono_mx); engines use the factor tables, not this.  (Moved here from
+    the retired round-2 mx engine.)
+
+    Computed directly from the evaluation exponents: mx position
+    pos = k2'*128 + k1 evaluates at psi^(2(k1 + 128*bitrev(k2')) + 1).
+    """
+    from ..ring.modring import _root_of_unity as _rou
+
+    plan = mx_plan(ctx.n, ctx.nprimes)
+    n, nb = ctx.n, plan.nb
+    bits = nb.bit_length() - 1
+    k2p = np.arange(nb)
+    k2 = np.array([_bitrev_int(int(v), bits) for v in k2p])
+    o = (2 * (np.arange(NK)[None, :] + NK * k2[:, None]) + 1).reshape(-1)  # [N]
+    a = np.arange(2 * n)
+    expo = (a[:, None] * o[None, :]) % (4 * n)  # [2N, N]
+    tabs, shs = [], []
+    for q, p in enumerate([int(x) for x in plan.primes]):
+        psi = _rou(p, 2 * n)
+        pw = np.zeros(4 * n, dtype=np.uint64)
+        cur = 1
+        for e in range(4 * n):
+            pw[e] = cur
+            cur = (cur * psi) % p
+        t = (pw[expo] + (p - 1)) % p  # psi^(a*o) - 1 mod p
+        tabs.append(t.astype(np.uint32))
+        shs.append(((t.astype(object) << 32) // p).astype(np.uint64).astype(np.uint32))
+    mono = jnp.asarray(np.stack(tabs, axis=1))  # [2N, npr, N]
+    mono_sh = jnp.asarray(np.stack(shs, axis=1))
+    return mono, mono_sh
 
 
 def _gather_mono_factors(tildea_p, n_ring: int, npr: int):
@@ -388,7 +463,7 @@ class MxKmsKeys:
     brk_mx_shoup: jnp.ndarray
 
 
-def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = None, store_shoup: bool = True) -> MxKmsKeys:
+def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = None, store_shoup: bool = True, consume_brk: bool = False) -> MxKmsKeys:
     """Convert KMS party keys (torus domain) for the mx engines.
 
     Pipelined over n-bit chunks across ALL parties (round 2 transformed one
@@ -402,7 +477,13 @@ def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = Non
     store_shoup=False skips the Shoup companion table (brk_mx_shoup is
     None), HALVING resident key HBM -- what lets KMS16party fit one v5e.
     Only the mx3 engine can consume such keys (it derives approximate
-    companions in-kernel, make_mx3_sweep_kernel)."""
+    companions in-kernel, make_mx3_sweep_kernel).
+
+    consume_brk=True additionally releases each party's TORUS-domain brk
+    (party_keys must be a mutable list holding the only references) as
+    soon as it is converted, capping the build's peak HBM at one party's
+    torus keys + the growing mx material instead of both full tables --
+    at KMS16 that is the difference between ~9.5 GB peak and ~14.7 GB."""
     from ..ring.context import nprimes_needed
     from ..ring.torus import lift
     from .mx_ntt import mx_fwd_ref
@@ -433,7 +514,7 @@ def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = Non
     # (round 2 block_until_ready'd each party): the queue pipelines while
     # per-call intermediates stay bounded by the chunk size.
     hats, shs = [], []
-    for pk in party_keys:
+    for i, pk in enumerate(party_keys):
         phs, pss = [], []
         for c0 in range(0, n, chunk):
             h, s = one_chunk(pk.brk[c0 : c0 + chunk])
@@ -442,6 +523,9 @@ def build_mx_kms_keys(party_keys, params, chunk: int = 80, npr: int | None = Non
         hats.append(jnp.concatenate(phs, axis=0))
         if store_shoup:
             shs.append(jnp.concatenate(pss, axis=0))
+        if consume_brk:
+            jax.block_until_ready(hats[-1])
+            party_keys[i] = pk._replace(brk=jnp.zeros((0,), dtype=pk.brk.dtype))
     return MxKmsKeys(
         brk_mx=jnp.stack(hats),
         brk_mx_shoup=jnp.stack(shs) if store_shoup else None,

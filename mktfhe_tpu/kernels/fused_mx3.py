@@ -63,8 +63,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ring.context import RingCtx, make_ring_ctx
 from ..ring.modring import shoup, _root_of_unity
-from .fused_kms import _decomp_pairs, _pair_add, _pair_sub, garner_pairs
-from .fused_mx import _cond_sub
+from .fused_kms import _decomp_pairs_bias, _pair_add, _pair_sub, garner_pairs
+from .fused_mx2 import _cond_sub
 from .ntt_pallas import _shoup_lazy3
 from .fused_mx2 import (
     MxKmsKeys,
@@ -382,9 +382,10 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                 brks_scr[:, q] = w * m1 + _mulhi(w, m0)
 
         # gadget decomposition once per step, shared by all primes
+        # (bias-trick variant: no per-level carry chain)
         for r in range(rows):
             for c in range(2):
-                digs = _decomp_pairs(wrk_lo_ref[r, c], wrk_hi_ref[r, c], l, log_b)
+                digs = _decomp_pairs_bias(wrk_lo_ref[r, c], wrk_hi_ref[r, c], l, log_b)
                 for lev in range(l):
                     col = (r * cpl + c * l + lev) * gt
                     d = digs[lev]
@@ -425,6 +426,12 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                     return outs
 
                 if nb > 1:
+                    # NOTE round-5 negative result: issuing TWO b-pairs'
+                    # matmuls before their combines ("software pipelining"
+                    # for MXU/VPU overlap) measured SLOWER on chip
+                    # (315 -> 351 us/step-row at rows=2, 331 -> 561 at
+                    # rows=1) -- the extra 8 MB of live f32 matmul outputs
+                    # spill; Mosaic schedules the single-pair form better.
                     for b in range(half):
                         s0 = fwd_mm(0, b)
                         s1 = fwd_mm(1, b + half)
@@ -443,6 +450,7 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                         # approximate-Shoup terms (< 3p), accumulator
                         # reduced to < 2p before each add so the running
                         # sum stays < 5p < 2^32 (modring.PRIMES).
+                        # m may be a traced member index (block fori).
                         eh = None
                         for j in range(cpl):
                             col = j * gt
@@ -480,26 +488,30 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                         )  # (A*B - 1) * eh: t2 + (2p - eh) < 5p -> < 2p
                     else:
                         # block: U = sum_m A*B*eh_m (< 5p invariant),
-                        # V = sum_m eh_m (< 4p invariant); accumulate
-                        # IN est_ref to keep the member loop's live set
-                        # at one slab (the SSA form blew the Mosaic
-                        # scoped-VMEM budget at rows=2)
+                        # V = sum_m eh_m (< 4p invariant); accumulate IN
+                        # est_ref, and run the members under a fori_loop
+                        # with a dynamic member index -- the fully
+                        # unrolled form tripled Mosaic's scoped-VMEM
+                        # temporaries past the 128 MB chip budget.
                         vcol = half_cols + ocol
-                        for m in range(ell):
+                        zero = jnp.zeros((nb, NK, gt), U32)
+                        est_ref[:, :, ocol : ocol + gt] = zero
+                        est_ref[:, :, vcol : vcol + gt] = zero
+
+                        def member_body(m, _):
                             eh = ext_product(m)  # < 2p
                             t2 = mono_mul(m, eh)  # < 3p
-                            if m == 0:
-                                est_ref[:, :, ocol : ocol + gt] = t2
-                                est_ref[:, :, vcol : vcol + gt] = eh
-                            else:
-                                u = est_ref[:, :, ocol : ocol + gt]
-                                est_ref[:, :, ocol : ocol + gt] = (
-                                    _cond_sub(_cond_sub(u, two_p), two_p) + t2
-                                )  # < 5p
-                                v = est_ref[:, :, vcol : vcol + gt]
-                                est_ref[:, :, vcol : vcol + gt] = (
-                                    _cond_sub(v, two_p) + eh
-                                )  # < 4p
+                            u = est_ref[:, :, ocol : ocol + gt]
+                            est_ref[:, :, ocol : ocol + gt] = (
+                                _cond_sub(_cond_sub(u, two_p), two_p) + t2
+                            )  # < 5p
+                            v = est_ref[:, :, vcol : vcol + gt]
+                            est_ref[:, :, vcol : vcol + gt] = (
+                                _cond_sub(v, two_p) + eh
+                            )  # < 4p
+                            return 0
+
+                        jax.lax.fori_loop(0, ell, member_body, 0)
                         u = est_ref[:, :, ocol : ocol + gt]
                         est_ref[:, :, ocol : ocol + gt] = _cond_sub(
                             _cond_sub(u, two_p), two_p
@@ -533,17 +545,22 @@ def make_mx3_sweep_kernel(params, ctx: RingCtx, iter_rows: int, n_steps: int, g_
                     ls = _split4_bf16(v)
                     for i in range(4):
                         limb_ref[0, i * NK : (i + 1) * NK] = ls[i]
-                for b in range(nb):
+                def inv_mm(b):
                     var = 0 if (nb == 1 or b < half) else 1
-                    ss = []
-                    for i in range(4):
-                        ss.append(jax.lax.dot_general(
+                    return [
+                        jax.lax.dot_general(
                             imat_ref[q, var, i], limb_ref[b],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                        ))
+                        )
+                        for i in range(4)
+                    ]
+
+                for b in range(nb):
+                    ss = inv_mm(b)
                     # the last prime's residues reuse est (its stage
-                    # outputs for this cout are dead after the limb split)
+                    # outputs for this group are dead after the limb
+                    # split)
                     val = _combine_inv(ss, p)  # < p
                     if q == npr - 1:
                         est_ref[b, :, cc : cc + rg] = val
@@ -680,10 +697,10 @@ def mx3_nprimes(params) -> int:
 Mx3KmsKeys = MxKmsKeys
 
 
-def build_mx3_kms_keys(party_keys, params, chunk: int = 80, store_shoup: bool = True) -> Mx3KmsKeys:
+def build_mx3_kms_keys(party_keys, params, chunk: int = 80, store_shoup: bool = True, consume_brk: bool = False) -> Mx3KmsKeys:
     return build_mx_kms_keys(
         party_keys, params, chunk=chunk, npr=mx3_nprimes(params),
-        store_shoup=store_shoup,
+        store_shoup=store_shoup, consume_brk=consume_brk,
     )
 
 

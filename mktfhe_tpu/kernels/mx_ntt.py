@@ -30,7 +30,7 @@ The mx domain is the ordinary NTT evaluation domain up to a fixed
 permutation of evaluation points, so pointwise products, monomial tables
 and key material work unchanged as long as every operand is transformed
 with the same map (keys via the exact jnp path here; data via the Pallas
-kernel in fused_mx.py -- bit-identical by construction and by test).
+kernels in fused_mx2.py/fused_mx3.py -- bit-identical by construction and by test).
 
 Exactness of the bf16 matmuls: operands are integers with |v| <= 256
 (gadget digits for log_b <= 9, signed base-256 limbs otherwise), bf16

@@ -49,12 +49,6 @@ def _phase1_fn(engine: str, params, ctx, pallas_ntt: bool, interpret: bool, sche
         return lambda ta, bh, bs: kms_phase1_bm(
             ta, bh, bs, p1k, params.l_lev, params, ctx, interpret
         )
-    if engine == "mx":
-        from ..kernels.fused_mx import kms_phase1_mx
-
-        return lambda ta, bh, bs: kms_phase1_mx(
-            ta, bh, bs, p1k, params.l_lev, params, ctx, interpret=interpret
-        )
     if engine == "mx2":
         from ..kernels.fused_mx2 import kms_phase1_mx2
 
@@ -250,8 +244,8 @@ def kms_bootstrap_shardmap(ct: Lwe, scheme: kms.KmsScheme, params, mesh: Mesh, p
 
     Engine selection: phase1_keys=None runs the reference jnp phase 1
     (pallas_ntt routes its NTTs through the Pallas kernels); a BmKmsPhase1
-    runs the batch-minor engine; an MxKmsPhase1 the MXU mx engine; an
-    MxKmsKeys the whole-rotation mx2 engine.  Requires mesh axis 'party'
+    runs the batch-minor engine; an MxKmsKeys the whole-rotation mx
+    engine family (mx2/mx3 share key material).  Requires mesh axis 'party'
     with size dividing k; a 'batch' axis is optional.
 
     shard_phase2=True additionally party-shards the phase-2 key material
@@ -265,17 +259,12 @@ def kms_bootstrap_shardmap(ct: Lwe, scheme: kms.KmsScheme, params, mesh: Mesh, p
     p1k = ()
     if phase1_keys is not None:
         from ..kernels.batchminor import BmKmsPhase1
-        from ..kernels.fused_mx import MxKmsPhase1
         from ..kernels.fused_mx2 import MxKmsKeys
 
         z = jnp.zeros((0,), dtype=jnp.uint32)
         if isinstance(phase1_keys, MxKmsKeys):
             engine = "mx2"
             brk_h, brk_s = phase1_keys.brk_mx, phase1_keys.brk_mx_shoup
-        elif isinstance(phase1_keys, MxKmsPhase1):
-            engine = "mx"
-            brk_h, brk_s = phase1_keys.brk_mx, phase1_keys.brk_mx_shoup
-            p1k = dataclasses.replace(phase1_keys, brk_mx=z, brk_mx_shoup=z)
         elif isinstance(phase1_keys, BmKmsPhase1):
             engine = "bm"
             brk_h, brk_s = phase1_keys.brk_bm, phase1_keys.brk_bm_shoup

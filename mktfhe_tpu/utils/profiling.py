@@ -68,7 +68,7 @@ def kms_cost(params, engine: str = "mx", nprimes: int = 3) -> BootstrapCost:
     pointwise = nprimes * big_n * (cpl * 2 + 2)
     glue = big_n * (10 * cpl + 30)  # decomp digits + Garner + u64 adds
     if engine in ("mx", "mx2"):
-        from ..kernels.fused_mx import _digit_split
+        from ..kernels.fused_mx2 import _digit_split
 
         nb = big_n // 128
         s_count = int(math.log2(nb)) if nb > 1 else 0

@@ -97,8 +97,8 @@ def run_config(name: str, batch: int, reps: int = 8):
             parties = [mod.party_keygen(jax.random.key(1 + i), crs_v, params) for i in range(k)]
             scheme = mod.setup(crs_v, [p[2] for p in parties], params)
         else:
-            bm = name.endswith(("-bm", "-fk", "-mx", "-mx2", "-mx3"))
-            kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-fk", "").replace("-mx3", "").replace("-mx2", "").replace("-mx", "")
+            bm = name.endswith(("-bm", "-mx2", "-mx3"))
+            kstr = name[3:].replace("-bm", "").replace("-pl", "").replace("-mx3", "").replace("-mx2", "")
             block = kstr.endswith("block")
             if block:
                 kstr = kstr[:-5]
@@ -123,10 +123,14 @@ def run_config(name: str, batch: int, reps: int = 8):
             from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3, build_mx3_kms_keys
 
             # k >= 16: drop the stored Shoup table (halves key HBM; the
-            # kernel derives approximate companions in-kernel)
+            # kernel derives approximate companions in-kernel) and release
+            # each party's torus brk as it converts (peak-HBM cap)
+            pks = [p[3] for p in parties]
+            parties = [(p[0], p[1], p[2], None) for p in parties]
             mx_keys = build_mx3_kms_keys(
-                [p[3] for p in parties], params, store_shoup=k < 16
+                pks, params, store_shoup=k < 16, consume_brk=True
             )
+            del pks
             jax.block_until_ready(mx_keys.brk_mx)
             boot = lambda ct: bootstrap_mx3(ct, scheme, mx_keys, params, pallas_ntt=True)
         elif name.startswith("kms") and name.endswith("-mx2"):
@@ -135,19 +139,6 @@ def run_config(name: str, batch: int, reps: int = 8):
             mx_keys = build_mx_kms_keys([p[3] for p in parties], params)
             jax.block_until_ready(mx_keys.brk_mx)
             boot = lambda ct: bootstrap_mx2(ct, scheme, mx_keys, params, pallas_ntt=True)
-        elif name.startswith("kms") and name.endswith("-mx"):
-            from mktfhe_tpu.kernels.fused_mx import bootstrap_mx, build_mx_kms_phase1
-
-            mx_keys = build_mx_kms_phase1([p[3] for p in parties], params)
-            jax.block_until_ready(mx_keys.brk_mx)
-            boot = lambda ct: bootstrap_mx(ct, scheme, mx_keys, params, pallas_ntt=True)
-        elif name.startswith("kms") and name.endswith("-fk"):
-            from mktfhe_tpu.kernels.batchminor import build_bm_kms_phase1
-            from mktfhe_tpu.kernels.fused_kms import bootstrap_fused_kms
-
-            bm_keys = build_bm_kms_phase1([p[3] for p in parties], params)
-            jax.block_until_ready(bm_keys.brk_bm)
-            boot = lambda ct: bootstrap_fused_kms(ct, scheme, bm_keys, params, pallas_ntt=True)
         elif name.endswith("-pl"):
             boot = lambda ct: mod.bootstrap(ct, scheme, params, pallas_ntt=True)
         else:
@@ -180,7 +171,7 @@ def run_config(name: str, batch: int, reps: int = 8):
         elif name.startswith("kms") and "block" not in name:
             cost = kms_cost(
                 params,
-                engine="mx" if name.endswith(("-mx", "-mx2", "-mx3")) else "ref",
+                engine="mx" if name.endswith(("-mx2", "-mx3")) else "ref",
                 nprimes=params.ring_nprimes,
             )
         if cost is not None:

@@ -291,6 +291,184 @@ class CggiEmu:
         return res_b, res_a
 
 
+# ─── LMSS (single key, block-binary secrets, u32 torus) ──────────────────
+
+
+class LmssEmu:
+    """setup + BootKey_block (scheme.jl:190-205, keygen.jl:29-55)."""
+
+    def __init__(self, rng, params):
+        self.p = params
+        d, ell = params.d, params.ell
+        n, N, l, log_b = params.n, params.big_n, params.l_gsw, params.log_b_gsw
+        # block-binary secret: <= 1 one per block (sampler.jl:7-22)
+        pos = rng.integers(0, ell + 1, d)
+        key = np.zeros(n, dtype=U32)
+        for bi in range(d):
+            if pos[bi] > 0:
+                key[bi * ell + pos[bi] - 1] = 1
+        self.lwe_key = key
+        # partial ring key: first n coefficients ARE the LWE key
+        # (key.jl:52-88)
+        rk = rng.integers(0, 2, N).astype(np.int64)
+        rk[:n] = key
+        self.ring_key = rk
+        gvec = (U32(1) << np.array(
+            [32 - (i + 1) * log_b for i in range(l)], dtype=U32))
+        a_all = rng.integers(0, MOD32, (n, 2, l, N), dtype=np.int64).astype(U32)
+        b_all = (negacyclic_exact(a_all, -self.ring_key)
+                 + gauss(rng, params.beta, (n, 2, l, N), U32))
+        sel = key.astype(bool)
+        b_all[sel, 0, :, 0] += gvec[None, :]
+        a_all[sel, 1, :, 0] += gvec[None, :]
+        self.brk = np.stack([b_all, a_all], axis=3)
+        # ksk: balanced digit-value table for TAIL ring coefficients only
+        # (rows > n pass for free; keygen.jl:29-55), D/2 digit values
+        f, log_d = params.f, params.log_d
+        dmax = (1 << log_d) // 2
+        kg = (U32(1) << np.array(
+            [32 - (i + 1) * log_d for i in range(f)], dtype=U32))
+        tail = rk[n:]
+        self.ksk_a = rng.integers(
+            0, MOD32, (dmax, N - n, f, n), dtype=np.int64).astype(U32)
+        msg = (np.arange(1, dmax + 1, dtype=U64)[:, None, None]
+               * tail.astype(U64)[None, :, None]
+               * kg.astype(U64)[None, None, :])
+        asum = (self.ksk_a.astype(U64)
+                * key.astype(U64)[None, None, None, :]).sum(axis=-1)
+        self.ksk_b = (msg - asum
+                      + gauss(rng, params.alpha, (dmax, N - n, f), U32).astype(U64)
+                      ).astype(U32)
+
+    def bootstrap(self, bb, aa, ring):
+        """Block rotation (bootstrapping.jl:114-165) + partial key switch
+        (:170-229)."""
+        p = self.p
+        N, l, log_b = p.big_n, p.l_gsw, p.log_b_gsw
+        d, ell, n = p.d, p.ell, p.n
+        g = bb.shape[0]
+        logN = N.bit_length() - 1
+        shift = 32 - logN - 1
+        tilde_b = divbits(bb, shift, 32) & U32(2 * N - 1)
+        tilde_a = (divbits(aa, shift, 32) & U32(2 * N - 1)).astype(np.int64)
+        tilde_a = tilde_a.reshape(g, d, ell)
+        acc_b = testvector(tilde_b, N, U32, 32)
+        acc_a = np.zeros((g, N), dtype=U32)
+        tbrk = ring.fwd(self.brk).reshape(d, ell, 2, l, 2, ring.m)
+        for bi in range(d):
+            bd = balanced_decomp_ref(acc_b, l, log_b, 32)
+            ad = balanced_decomp_ref(acc_a, l, log_b, 32)
+            tb = ring.fwd_signed(bd)
+            ta = ring.fwd_signed(ad)
+            tacc2 = np.zeros((g, 2, ring.m), dtype=np.complex128)
+            for m in range(ell):
+                t = tilde_a[:, bi, m]
+                eh = (np.einsum("lgm,lcm->gcm", tb, tbrk[bi, m, 0])
+                      + np.einsum("lgm,lcm->gcm", ta, tbrk[bi, m, 1]))
+                monop = np.zeros((g, N), dtype=np.int64)
+                for gi in range(g):
+                    tt = int(t[gi])
+                    if tt == 0:
+                        continue
+                    monop[gi, 0] -= 1
+                    if tt < N:
+                        monop[gi, tt] += 1
+                    elif tt == N:
+                        monop[gi, 0] -= 1
+                    else:
+                        monop[gi, tt - N] -= 1
+                mono = ring.fwd_signed(monop)
+                tacc2 = tacc2 + eh * mono[:, None]
+            dacc = ring.inv(tacc2)
+            acc_b = acc_b + dacc[:, 0]
+            acc_a = acc_a + dacc[:, 1]
+        # partial key switch: coefficients < n pass free, tail through the
+        # balanced digit-value table
+        f, log_d = p.f, p.log_d
+        dmax = (1 << log_d) // 2
+        res_b = acc_b[:, 0].copy()
+        coeffs = np.concatenate(
+            [acc_a[:, :1], (-(acc_a[:, 1:][:, ::-1].astype(np.int64))).astype(U32)],
+            axis=-1,
+        )  # [g, N]
+        res_a = coeffs[:, :n].copy()
+        digs = balanced_decomp_ref(coeffs[:, n:], f, log_d, 32)  # [f,g,N-n] signed
+        for dv in range(1, dmax + 1):
+            mp = (digs == dv).astype(np.int64)
+            mm = (digs == -dv).astype(np.int64)
+            mdiff = (mp - mm).transpose(1, 2, 0)  # [g, N-n, f]
+            res_b += np.einsum(
+                "gNf,Nf->g", mdiff, self.ksk_b[dv - 1].astype(np.int64)
+            ).astype(U32)
+            res_a += np.einsum(
+                "gNf,Nfn->gn", mdiff, self.ksk_a[dv - 1].astype(np.int64)
+            ).astype(U32)
+        return res_b, res_a
+
+
+def run_lmss(n_gates, batch, seed=0):
+    params = ALL_PRESETS["Block"]
+    p = params
+    rng = np.random.default_rng(seed)
+    ring = F64Ring(p.big_n, 32)
+    t0 = time.time()
+    emu = LmssEmu(rng, p)
+    keygen_s = time.time() - t0
+    errs = []
+    oks = 0
+    total = 0
+    t0 = time.time()
+    for _ in range(max(1, n_gates // batch)):
+        g = batch
+        m1 = rng.integers(0, 2, g).astype(bool)
+        m2 = rng.integers(0, 2, g).astype(bool)
+        want = ~(m1 & m2)
+
+        def enc(m):
+            av = rng.integers(0, MOD32, (g, p.n), dtype=np.int64).astype(U32)
+            mu = (2 * m.astype(U64) - 1).astype(U32) << U32(29)
+            bv = (gauss(rng, p.alpha, g, U32)
+                  - (av.astype(U64)
+                     * emu.lwe_key.astype(U64)[None]).sum(-1).astype(U32)
+                  + mu)
+            return bv, av
+
+        b1, a1 = enc(m1)
+        b2, a2 = enc(m2)
+        bb = (U32(1) << U32(29)) - b1 - b2
+        aa = (-(a1.astype(np.int64) + a2.astype(np.int64))).astype(U32)
+        ob, oa = emu.bootstrap(bb, aa, ring)
+        ph = (ob.astype(U64)
+              + (oa.astype(U64) * emu.lwe_key.astype(U64)[None]).sum(-1))
+        ph &= U64(0xFFFFFFFF)
+        ideal = np.where(want, U64(1 << 29), U64((1 << 32) - (1 << 29)))
+        err = (ph - ideal) & U64(0xFFFFFFFF)
+        err = np.where(err >= 1 << 31, err.astype(np.int64) - (1 << 32),
+                       err.astype(np.int64))
+        errs.append(err)
+        oks += int(((ph < U64(1 << 31)) == want).sum())
+        total += g
+        print(json.dumps({
+            "batch_done": total,
+            "std_bits": float(np.log2(np.concatenate(errs).std() + 1e-9)),
+        }), flush=True)
+    errs = np.concatenate(errs).astype(np.float64)
+    std = errs.std()
+    rec = {
+        "pipeline": "reference-emulation-f64fft",
+        "preset": "Block",
+        "gates": total,
+        "decrypt_ok": oks,
+        "keygen_s": round(keygen_s, 1),
+        "boot_s": round(time.time() - t0, 1),
+        "std_bits": round(float(np.log2(std + 1e-9)), 2),
+        "max_abs_bits": round(float(np.log2(np.abs(errs).max() + 1)), 2),
+        "margin_sigmas": round(float(1 << 28) / std, 2) if std > 0 else None,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 # ─── KMS (multi-key, u32 LWE / u64 ring, two-phase) ──────────────────────
 
 
@@ -617,6 +795,8 @@ if __name__ == "__main__":
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     if which == "cggi":
         run_cggi(n_gates, batch)
+    elif which == "lmss":
+        run_lmss(n_gates, batch)
     elif which.startswith("kms"):
         run_kms(int(which[3:]), n_gates, batch)
     elif which == "tiny-kms":

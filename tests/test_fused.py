@@ -27,3 +27,25 @@ def test_fused_engine_bit_identical():
     got = bootstrap_fused(ct, bm, TINY, g_tile=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(ref.b))
     np.testing.assert_array_equal(np.asarray(got.a), np.asarray(ref.a))
+
+
+def test_decomp_pairs_bias_identical():
+    """The bias-trick decomposition (one constant add, no carry chain)
+    must be bit-identical to the sequential _decomp_pairs for every
+    preset gadget and edge input."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mktfhe_tpu.kernels.fused_kms import _decomp_pairs, _decomp_pairs_bias
+
+    rng = np.random.default_rng(0)
+    for (l, log_b) in [(4, 9), (3, 12), (5, 8), (6, 7), (2, 8), (3, 8)]:
+        vals = rng.integers(0, 1 << 64, size=2048, dtype=np.uint64)
+        vals[:6] = [0, (1 << 64) - 1, 1 << 63, (1 << 63) - 1,
+                    0x8000000080000000, 0xFFFFFFFF]
+        lo = jnp.asarray((vals & 0xFFFFFFFF).astype(np.uint32))
+        hi = jnp.asarray((vals >> 32).astype(np.uint32))
+        a = _decomp_pairs(lo, hi, l, log_b)
+        b = _decomp_pairs_bias(lo, hi, l, log_b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -28,7 +28,7 @@ def _setup():
 
 def test_mono_factorization_matches_table():
     """A[a,k1]*B[a,b'] - 1 must equal the full monomial table mono_mx[a]."""
-    from mktfhe_tpu.kernels.fused_mx import mx_mono_table
+    from mktfhe_tpu.kernels.fused_mx2 import mx_mono_table
     from mktfhe_tpu.kernels.mx_ntt import NK, mx_plan
 
     ctx = make_ring_ctx(128, 64, 3)
@@ -46,17 +46,6 @@ def test_mono_factorization_matches_table():
         got = np.asarray(mono[a]).reshape(ctx.nprimes, nb, NK)
         np.testing.assert_array_equal(got, want.astype(np.uint32))
 
-
-def test_mx2_keys_match_v1():
-    params, a, parties = _setup()
-    from mktfhe_tpu.kernels.fused_mx import build_mx_kms_phase1
-
-    v1 = build_mx_kms_phase1([p[3] for p in parties], params)
-    v2 = build_mx_kms_keys([p[3] for p in parties], params, chunk=3)
-    np.testing.assert_array_equal(np.asarray(v2.brk_mx), np.asarray(v1.brk_mx))
-    np.testing.assert_array_equal(
-        np.asarray(v2.brk_mx_shoup), np.asarray(v1.brk_mx_shoup)
-    )
 
 
 def test_mx2_phase1_bit_identical():
@@ -131,7 +120,7 @@ def test_mx2_bootstrap_bit_identical():
 def test_mono_factorization_matches_table_nb2():
     """nb=2 (N=256): covers the B-factor/bitrev half of the A*B monomial
     factorization, degenerate at N=128 (advisor round 3, finding 1)."""
-    from mktfhe_tpu.kernels.fused_mx import mx_mono_table
+    from mktfhe_tpu.kernels.fused_mx2 import mx_mono_table
     from mktfhe_tpu.kernels.mx_ntt import NK, mx_plan
 
     ctx = make_ring_ctx(256, 64, 3)

@@ -100,43 +100,6 @@ def test_shardmap_bm_engine():
     np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
 
 
-def test_shardmap_mx_engine():
-    """MXU mx phase 1 under shard_map (interpret mode, N=128 ring)."""
-    import jax.numpy as jnp
-
-    from mktfhe_tpu.kernels.fused_mx import build_mx_kms_phase1
-    from mktfhe_tpu.parallel import kms_bootstrap_shardmap, make_mesh, shard_scheme
-    from mktfhe_tpu.schemes import kms
-    from mktfhe_tpu.schemes.gates import gate_affine, lwe_ith_encrypt_bit
-    from mktfhe_tpu.schemes.presets import TEST_PRESETS
-
-    params = TEST_PRESETS["TinyKMS2partyMX"]
-    a = kms.crs(jax.random.key(0), params)
-    parties = [
-        kms.party_keygen(jax.random.key(1 + i), a, params) for i in range(params.k)
-    ]
-    lwe_keys = [p[0] for p in parties]
-    scheme = kms.setup(a, [p[3] for p in parties], params)
-    g = 16
-    m = jnp.zeros((g,), dtype=bool)
-    ct1 = lwe_ith_encrypt_bit(
-        jax.random.key(91), m, 0, lwe_keys[0], params.alpha, params.k, (g,)
-    )
-    ct2 = lwe_ith_encrypt_bit(
-        jax.random.key(92), ~m, 1, lwe_keys[1], params.alpha, params.k, (g,)
-    )
-    ct = gate_affine(0, ct1, ct2)
-    ref = kms.bootstrap(ct, scheme, params)
-
-    mx_keys = build_mx_kms_phase1([p[3] for p in parties], params)
-    mesh = make_mesh(2, 4)
-    sh = shard_scheme(scheme, mesh)
-    out = kms_bootstrap_shardmap(
-        ct, sh, params, mesh, interpret=True, phase1_keys=mx_keys
-    )
-    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
-    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
-
 
 def test_shardmap_mx2_engine():
     """Whole-rotation mx2 phase 1 under shard_map (interpret, N=128 ring)."""
