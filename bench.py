@@ -170,7 +170,7 @@ def main():
         first_ct = gate_affine(0, c1, ct2)
         chain_step = lambda prev: gate_affine(0, prev, ct2)
         decrypt = lambda out: lwe_decrypt_bit_mk(out, lwe_keys)
-        metric = f"kms{k}_gate_bootstraps_per_sec_per_chip"
+        metric = f"kms{k}{'block' if block else ''}_gate_bootstraps_per_sec_per_chip"
     else:
         raise SystemExit(f"unknown scheme {scheme_name}")
 
