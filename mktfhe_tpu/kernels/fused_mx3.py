@@ -773,10 +773,10 @@ def kms_phase1_mx3(tildea_p, brk_p, brk_sh_p, iter_rows: int, params, out_ctx: R
     # Row-chunked sweeps: the RLEV rows never interact during the
     # rotation, so they run as separate kernel calls.  Two rows per body
     # lets Mosaic overlap one row's matmuls with the other row's VPU
-    # chain; the full 3-row body exceeds the v5e scoped-vmem budget.
-    # (Block presets fit 2-row bodies since the member loop became a
-    # fori_loop -- the fully unrolled form blew the scoped budget.)
-    max_rows = 2
+    # chain; the full 3-row body exceeds the v5e scoped-vmem budget, and
+    # a 2-row BLOCK body wedged the remote Mosaic compiler (>40 min, no
+    # result) -- block presets sweep one row per call.
+    max_rows = 1 if ell > 1 else 2
     chunks = []
     left = iter_rows
     while left > 0:
