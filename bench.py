@@ -17,10 +17,12 @@ impossible times; a dependency chain cannot be faked.
 Usage: python bench.py [scheme] [batch]
   scheme: cggi | cggi-bm | cggi-fused | kms{k}[block] | kms{k}-bm |
           kms{k}[block]-mx2 | kms{k}[block]-mx3 | kms{k}-mx3d   (default
-          kms8-mx3: the restructured exact MXU phase-1 engine,
-          kernels/fused_mx3.py; mx3d = derived-middle-row variant,
-          48.4/s but BELOW the 6-sigma noise bar at KMS8 -- measured
-          decrypt failures; kept for measurement only).
+          kms8block-mx3: the mx3 engine on KMS8partyblock, the
+          reference's own fast k=8 variant -- its block structure shares
+          one decomposition + forward NTT across ell=3 external
+          products; measured the fastest k=8 configuration.  mx3d =
+          derived-middle-row variant, BELOW the 6-sigma noise bar at
+          KMS8 (measured decrypt failures); kept for measurement only.
           Bare kms{k} is the jnp reference path, as in scripts/perf_sweep.py.
 """
 
@@ -66,7 +68,7 @@ def _health_check(timeout_s: int = 60):
 
 
 def main():
-    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "kms8-mx3"
+    scheme_name = sys.argv[1] if len(sys.argv) > 1 else "kms8block-mx3"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else (
         256 if scheme_name.startswith("cggi") else 128
     )
