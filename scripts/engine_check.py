@@ -63,7 +63,11 @@ def check_cggi(g=8):
     check("cggi fused-step", bootstrap_fused(ct, bm, params), ref)
 
 
-def check_kms(params, tag, g=8):
+def check_kms(params, tag, g=128):
+    # g=128 matches the production gate tile: the mx3 kernel bodies hit
+    # the sweep's compile-cache shape; small-lane (g=8) wide-gadget
+    # bodies wedged the remote Mosaic compiler (round 5).
+
     k = params.k
     a = kms.crs(jax.random.key(0), params)
     parties = [kms.party_keygen(jax.random.key(1 + i), a, params) for i in range(k)]
@@ -110,7 +114,7 @@ def check_kms(params, tag, g=8):
         )
 
 
-def check_kms_block(params, tag, g=8):
+def check_kms_block(params, tag, g=128):
     """Block-binary preset through the mx3 block kernel (U/V split),
     compiled, vs the jnp reference engine."""
     from mktfhe_tpu.kernels.fused_mx3 import bootstrap_mx3, build_mx3_kms_keys
